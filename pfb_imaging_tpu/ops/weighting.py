@@ -1,0 +1,164 @@
+"""uv-counts gridding and Briggs/robust imaging weights.
+
+TPU-native equivalents of the reference's numba kernels
+(/root/reference/src/pfb_imaging/utils/weighting.py): nearest-neighbour
+counts scatter with the Hermitian v<0 fold, Briggs ``counts_to_weights``,
+``filter_extreme_counts`` and the super-uniform ``box_sum_counts``.
+
+All functions are jittable; the scatter is a single XLA scatter-add over the
+flattened (corr, nrow*nchan) stream (the reference chunks rows over threads
+— here XLA owns the parallelism; a Pallas binning kernel can replace the
+scatter when it shows up in profiles).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import LIGHTSPEED
+
+
+def _uv_bins(uvw, freq, nx, ny, cell_size_x, cell_size_y, usign, vsign):
+    """Shared NN binning math (reference weighting.py:85-140 and 184-200).
+
+    Returns (iu, iv, in_bounds) with shape (nrow, nchan).
+    """
+    u_cell = 1.0 / (nx * cell_size_x)
+    umax = abs(1.0 / cell_size_x / 2.0)
+    v_cell = 1.0 / (ny * cell_size_y)
+    vmax = abs(1.0 / cell_size_y / 2.0)
+
+    chan_normfreq = freq / LIGHTSPEED  # (nchan,)
+    u_tmp = uvw[:, 0:1] * chan_normfreq[None, :] * usign
+    v_tmp = uvw[:, 1:2] * chan_normfreq[None, :] * vsign
+    # Hermitian fold: v < 0 -> conjugate baseline
+    neg = v_tmp < 0
+    u_tmp = jnp.where(neg, -u_tmp, u_tmp)
+    v_tmp = jnp.where(neg, -v_tmp, v_tmp)
+
+    ug = (u_tmp + umax) / u_cell
+    vg = (v_tmp + vmax) / v_cell
+    iu = jnp.floor(ug).astype(jnp.int32)
+    iv = jnp.floor(vg).astype(jnp.int32)
+    in_bounds = (iu >= 0) & (iu < nx) & (iv >= 0) & (iv < ny)
+    return iu, iv, in_bounds
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "cell_size_x", "cell_size_y", "usign", "vsign"))
+def compute_counts(
+    uvw,
+    freq,
+    mask,
+    wgt,
+    nx: int,
+    ny: int,
+    cell_size_x: float,
+    cell_size_y: float,
+    usign: float = 1.0,
+    vsign: float = -1.0,
+):
+    """Sum weights onto the uv grid with NN binning (reference _compute_counts).
+
+    Args:
+        uvw: (nrow, 3); freq: (nchan,); mask: (nrow, nchan) {0,1};
+        wgt: (ncorr, nrow, nchan).
+
+    Returns:
+        counts (ncorr, nx, ny). Out-of-bounds samples are dropped (the
+        reference skips them so sub-Nyquist gridding still works).
+    """
+    iu, iv, in_bounds = _uv_bins(uvw, freq, nx, ny, cell_size_x, cell_size_y, usign, vsign)
+    sel = in_bounds & (mask != 0)
+    flat_idx = (iu * ny + iv).reshape(-1)
+    flat_idx = jnp.where(sel.reshape(-1), flat_idx, nx * ny)  # dropped
+
+    def one_corr(w):
+        vals = jnp.where(sel, w, 0.0).reshape(-1)
+        grid = jnp.zeros(nx * ny, dtype=w.dtype).at[flat_idx].add(vals, mode="drop")
+        return grid.reshape(nx, ny)
+
+    return jax.vmap(one_corr)(wgt)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "cell_size_x", "cell_size_y", "robust", "usign", "vsign"))
+def counts_to_weights(
+    counts,
+    uvw,
+    freq,
+    weight,
+    mask,
+    nx: int,
+    ny: int,
+    cell_size_x: float,
+    cell_size_y: float,
+    robust: float,
+    usign: float = 1.0,
+    vsign: float = -1.0,
+):
+    """Convert gridded counts to imaging weights (reference weighting.py:143-208).
+
+    Briggs: ssq = (5*10^-robust)^2 * sum(counts) / sum(counts^2) per corr,
+    counts <- counts*ssq + 1, then weight /= counts at each sample's cell.
+    robust <= -2 gives uniform weighting (no Briggs floor).
+    """
+    ncorr = weight.shape[0]
+    if robust > -2:
+        numsqrt = 5 * 10 ** (-robust)
+        avgwnum = jnp.sum(counts * counts, axis=(1, 2))
+        avgwden = jnp.sum(counts, axis=(1, 2))
+        ssq = numsqrt * numsqrt * avgwden / jnp.where(avgwnum > 0, avgwnum, 1.0)
+        counts = counts * ssq[:, None, None] + 1.0
+
+    iu, iv, in_bounds = _uv_bins(uvw, freq, nx, ny, cell_size_x, cell_size_y, usign, vsign)
+    sel = in_bounds & (mask != 0)
+    iu_c = jnp.clip(iu, 0, nx - 1)
+    iv_c = jnp.clip(iv, 0, ny - 1)
+
+    def one_corr(w, c):
+        cval = c[iu_c, iv_c]  # (nrow, nchan)
+        new = jnp.where(sel & (cval > 0), w / jnp.where(cval > 0, cval, 1.0), w)
+        return new
+
+    # if the counts grid is entirely empty the reference returns the weights
+    # unchanged (weighting.py:146-148)
+    any_counts = jnp.any(counts != 0)
+    out = jax.vmap(one_corr)(weight, counts)
+    return jnp.where(any_counts, out, weight)
+
+
+def filter_extreme_counts(counts, level: float = 10.0):
+    """Floor small nonzero counts at median/level (reference weighting.py:213-226)."""
+    if not level:
+        return counts
+    nz = counts > 0
+    # median over nonzero entries (host-free: use where + quantile on masked)
+    vals = jnp.where(nz, counts, jnp.nan)
+    med = jnp.nanmedian(vals)
+    lowval = med / level
+    return jnp.where(nz, jnp.maximum(counts, lowval), counts)
+
+
+@partial(jax.jit, static_argnames=("npix_super",))
+def box_sum_counts(counts, npix_super: int):
+    """Box-sum counts over a (2*npix_super+1)^2 window (super-uniform
+    weighting, reference weighting.py:229-254), zero-padded at edges."""
+    if npix_super is None or npix_super <= 0:
+        return counts
+    size = 2 * npix_super + 1
+
+    def box1d(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (npix_super, npix_super)
+        xp = jnp.pad(x, pad)
+        cs = jnp.cumsum(xp, axis=axis)
+        zero_shape = list(cs.shape)
+        zero_shape[axis] = 1
+        cs = jnp.concatenate([jnp.zeros(zero_shape, cs.dtype), cs], axis=axis)
+        hi = jax.lax.slice_in_dim(cs, size, cs.shape[axis], axis=axis)
+        lo = jax.lax.slice_in_dim(cs, 0, cs.shape[axis] - size, axis=axis)
+        return hi - lo
+
+    return box1d(box1d(counts, -2), -1)
