@@ -1,0 +1,193 @@
+"""Primal-dual (PDHG) solver, jitted device-side.
+
+The reference keeps two frozen oracles (``primal_dual`` and
+``primal_dual_numba``, opt/primal_dual.py:66-321) and the maintained
+``PrimalDual`` class. Here the inner loop is a single ``lax.while_loop``
+whose semantics match the numba oracle exactly:
+
+  per iteration (reference primal_dual.py:235-292):
+    v_a   = psi_dot(xp)                       (analysis)
+    v     = dual_update(vp, v_a, lam, sigma)  (fused stable form)
+    v_ext = 2 v - vp                          (extrapolate)
+    x     = xp - tau * (psi_hdot(v_ext) + grad(xp))
+    x     = primal_prox(x)                    (positivity)
+    eps   = ||x - xp|| / ||x||
+
+Step sizes (identical formulae — note the 0.98 factor of the numba oracle
+vs 0.9 of the allocating oracle; we use the production 0.98):
+    sigma = hessnorm / (2 gamma) / nu
+    tau   = 0.98 / (hessnorm / (2 gamma) + sigma * nu^2)
+
+``nu`` must be the squared frame bound ||Psi Psi^T|| (= nbasis for SARA) —
+design D3; an underestimate diverges multi-band runs.
+
+Inner l1 reweighting (fires on convergence, reference primal_dual.py:272-283)
+is a host-level outer loop here: run the jitted loop to tolerance, reweight,
+continue — same trajectory, since reweighting was always a host-sync point.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import PsiOperator, require_protocol
+from ..prox.prox_21m import dual_update as _dual_update_21m
+
+
+def _norm_diff(x, xp):
+    num = jnp.vdot(x - xp, x - xp).real
+    den = jnp.maximum(jnp.vdot(x, x).real, 1e-12)
+    return jnp.sqrt(num / den)
+
+
+@partial(jax.jit, static_argnames=("psi_dot", "psi_hdot", "grad", "primal_prox", "dual_update", "tol", "maxit", "minit"))
+def primal_dual_loop(
+    x,
+    v,
+    lam,
+    l1weight,
+    sigma,
+    tau,
+    *,
+    psi_dot,
+    psi_hdot,
+    grad,
+    primal_prox=None,
+    dual_update=_dual_update_21m,
+    tol: float = 1e-5,
+    maxit: int = 1000,
+    minit: int = 1,
+):
+    """One jitted PDHG run to tolerance. Returns (x, v, niter, eps)."""
+
+    def cond(carry):
+        x, xp, v, vp, k, eps = carry
+        return ((eps > tol) | (k < minit)) & (k < maxit)
+
+    def body(carry):
+        x, xp, v, vp, k, eps = carry
+        va = psi_dot(xp)
+        vn = dual_update(vp, va, lam, sigma=sigma, weight=l1weight)
+        v_ext = 2.0 * vn - vp
+        xout = psi_hdot(v_ext) + grad(xp)
+        xn = xp - tau * xout
+        if primal_prox is not None:
+            xn = primal_prox(xn)
+        epsn = jnp.where(jnp.any(xn != 0), _norm_diff(xn, xp), 1.0)
+        return (xn, xn, vn, vn, k + 1, epsn)
+
+    init = (x, x, v, v, jnp.int32(0), jnp.asarray(1.0, x.dtype))
+    x, _, v, _, k, eps = jax.lax.while_loop(cond, body, init)
+    return x, v, k, eps
+
+
+class PrimalDual:
+    """``BackwardSolver`` (reference opt/primal_dual.py:324-448).
+
+    The dual variable is internal, warm-started across ``solve`` calls;
+    ``reset()`` zeros it. ``on_converge`` drives inner l1 reweighting via a
+    host-level outer loop around the jitted inner loop.
+    """
+
+    def __init__(
+        self,
+        tol: float = 1e-5,
+        maxit: int = 1000,
+        report_freq: int = 10,
+        verbosity: int = 1,
+        gamma: float = 1.0,
+        sigma: float | None = None,
+        on_converge=None,
+        primal_prox=None,
+    ):
+        self.tol = tol
+        self.maxit = maxit
+        self.report_freq = report_freq
+        self.verbosity = verbosity
+        self.gamma = gamma
+        self._sigma_opt = sigma
+        self.on_converge = on_converge
+        self.primal_prox = primal_prox
+        self._grad = None
+        self._reg = None
+        self._v = None
+
+    def setup(self, prox, hessnorm: float) -> None:
+        require_protocol(prox.psi, PsiOperator, "prox.psi")
+        self._reg = prox
+        self.hessnorm = float(hessnorm)
+        nu = prox.nu
+        sigma = self._sigma_opt
+        if sigma is None:
+            sigma = self.hessnorm / (2.0 * self.gamma) / nu
+        self.sigma = sigma
+        self.tau = 0.98 / (self.hessnorm / (2.0 * self.gamma) + sigma * nu**2)
+        psi = prox.psi
+        self._v = jnp.zeros((psi.nband, psi.nbasis, psi.nymax, psi.nxmax))
+
+        # pure dual-update kernel: fused fast path when the regulariser
+        # provides one, else generic Moreau decomposition through its prox
+        fn = getattr(prox, "dual_update_fn", None)
+        if fn is None:
+            prox_fn = prox.prox_fn
+
+            def fn(vp, v, lam, sigma=1.0, weight=None):
+                vtilde = vp + sigma * v
+                return vtilde - sigma * prox_fn(vtilde, lam, sigma=sigma, weight=weight)
+
+        self._dual_fn = fn
+
+    def set_grad(self, grad) -> None:
+        self._grad = grad
+
+    def reset(self) -> None:
+        if self._v is not None:
+            self._v = jnp.zeros_like(self._v)
+
+    def solve(self, x, lam: float):
+        if self._reg is None:
+            raise RuntimeError("regulariser not bound; call setup() before solve()")
+        if self._grad is None:
+            raise RuntimeError("grad not set; call set_grad() before solve()")
+
+        reg = self._reg
+        v = self._v
+        budget = self.maxit
+        k_total = 0
+        eps = 1.0
+        while budget > 0:
+            x, v, k, eps = primal_dual_loop(
+                x,
+                v,
+                lam,
+                getattr(reg, "l1weight", None),
+                self.sigma,
+                self.tau,
+                psi_dot=reg.psi.dot,
+                psi_hdot=reg.psi.hdot,
+                grad=self._grad,
+                primal_prox=self.primal_prox,
+                dual_update=self._dual_fn,
+                tol=self.tol,
+                maxit=self.maxit,
+            )
+            k_total += int(k)
+            budget -= int(k)
+            converged = float(eps) < self.tol
+            if converged:
+                if self.on_converge is None or self.on_converge(x, k_total, float(eps)):
+                    break
+            else:
+                break  # maxit exhausted
+
+        self._v = v
+        if self.verbosity:
+            import logging
+
+            logging.getLogger("pfb_tpu.PD").info(
+                "primal-dual finished after %d iterations, eps=%.3e", k_total, float(eps)
+            )
+        return x

@@ -1,0 +1,144 @@
+"""Solver oracle tests (mirroring reference tests/test_pcg_solver.py,
+test_primal_dual.py and test_forward_backward.py: diagonal systems, analytic
+LASSO solutions, prox kernels vs looped oracles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfb_imaging_tpu.ops.identity_psi import IdentityPsi
+from pfb_imaging_tpu.opt.forward_backward import ForwardBackward
+from pfb_imaging_tpu.opt.pcg import PCG, pcg
+from pfb_imaging_tpu.opt.power_method import power_method
+from pfb_imaging_tpu.opt.primal_dual import PrimalDual
+from pfb_imaging_tpu.prox import L1, L21, positivity, prox_21, prox_21m
+from pfb_imaging_tpu.prox.prox_21m import dual_update
+
+
+def test_pcg_diagonal():
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.uniform(1.0, 5.0, (3, 16, 16)))
+    b = jnp.asarray(rng.standard_normal((3, 16, 16)))
+    x = pcg(lambda x: d * x, b, tol=1e-10, maxit=500, minit=10)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(b / d), atol=1e-7)
+
+
+def test_pcg_preconditioned_one_step():
+    """With the exact inverse as preconditioner CG converges immediately."""
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.uniform(1.0, 5.0, (8, 8)))
+    b = jnp.asarray(rng.standard_normal((8, 8)))
+    x = pcg(lambda x: d * x, b, precond=lambda r: r / d, tol=1e-12, maxit=50, minit=1)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(b / d), atol=1e-10)
+
+
+def test_pcg_class_prefers_hess_cg():
+    """PCG.solve must delegate to hess.cg when present (reference
+    tests/test_pcg_solver.py:21-47 uses a fake hess that raises otherwise)."""
+
+    class FakeHess:
+        def dot(self, x):
+            raise AssertionError("generic path used despite cg fast path")
+
+        def cg(self, residual, x0=None, **kw):
+            return residual * 2.0
+
+    out = PCG().solve(FakeHess(), jnp.ones(3))
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_power_method_diagonal():
+    d = jnp.asarray(np.linspace(1.0, 7.5, 64).reshape(8, 8))
+    beta, _ = power_method(lambda x: d * x, (8, 8), tol=1e-12, maxit=2000)
+    assert abs(float(beta) - 7.5) / 7.5 < 1e-3
+
+
+def test_prox_21m_matches_loop_oracle():
+    rng = np.random.default_rng(3)
+    nband, nbasis, ny, nx = 3, 2, 5, 4
+    v = rng.standard_normal((nband, nbasis, ny, nx))
+    w = rng.uniform(0.5, 1.5, (nbasis, ny, nx))
+    lam, sigma = 0.7, 1.3
+    out = np.asarray(prox_21m(jnp.asarray(v), lam, sigma=sigma, weight=jnp.asarray(w)))
+    # loop oracle (reference prox_21m_numba semantics)
+    oracle = np.zeros_like(v)
+    for b in range(nbasis):
+        for i in range(ny):
+            for j in range(nx):
+                vbisum = v[:, b, i, j].sum() / sigma
+                if not vbisum:
+                    continue
+                absv = abs(vbisum)
+                soft = max(absv - lam * w[b, i, j] / sigma, 0.0)
+                oracle[:, b, i, j] = v[:, b, i, j] * soft / absv / sigma
+    np.testing.assert_allclose(out, oracle, atol=1e-13)
+
+
+def test_dual_update_is_moreau_of_prox21m():
+    """v = vtilde - sigma*prox(vtilde/sigma) must equal the fused stable form
+    (reference dual_update_numba vs dual_update_numba_fast)."""
+    rng = np.random.default_rng(4)
+    shape = (2, 3, 6, 5)
+    vp = jnp.asarray(rng.standard_normal(shape))
+    v = jnp.asarray(rng.standard_normal(shape))
+    w = jnp.asarray(rng.uniform(0.5, 1.5, shape[1:]))
+    lam, sigma = 0.4, 0.9
+    fused = np.asarray(dual_update(vp, v, lam, sigma=sigma, weight=w))
+    vtilde = vp + sigma * v
+    moreau = np.asarray(vtilde - sigma * prox_21m(vtilde, lam, sigma=sigma, weight=w))
+    np.testing.assert_allclose(fused, moreau, atol=1e-12)
+
+
+def _lasso_setup(lam=0.3, nband=1):
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal((nband, 8, 8)))
+    psi = IdentityPsi(nband, 8, 8)
+    grad = jax.tree_util.Partial(lambda x, b=b: x - b)
+    xstar = np.sign(np.asarray(b)) * np.maximum(np.abs(np.asarray(b)) - lam, 0.0)
+    return b, psi, grad, xstar
+
+
+def test_primal_dual_analytic_lasso():
+    """min 0.5||x-b||^2 + lam||x||_1 has the soft-threshold solution."""
+    lam = 0.3
+    b, psi, grad, xstar = _lasso_setup(lam)
+    reg = L21(psi, ("self",), nu=1.0)
+    pd = PrimalDual(tol=1e-8, maxit=5000, verbosity=0)
+    pd.setup(reg, hessnorm=1.0)
+    pd.set_grad(grad)
+    x = pd.solve(jnp.zeros_like(b), lam)
+    np.testing.assert_allclose(np.asarray(x), xstar, atol=1e-5)
+
+
+def test_primal_dual_positivity():
+    lam = 0.3
+    b, psi, grad, xstar = _lasso_setup(lam)
+    reg = L21(psi, ("self",), nu=1.0)
+    pd = PrimalDual(tol=1e-8, maxit=5000, verbosity=0, primal_prox=positivity)
+    pd.setup(reg, hessnorm=1.0)
+    pd.set_grad(grad)
+    x = np.asarray(pd.solve(jnp.zeros_like(b), lam))
+    assert (x >= 0).all()
+    np.testing.assert_allclose(x, np.maximum(xstar, 0.0), atol=1e-5)
+
+
+def test_forward_backward_analytic_lasso():
+    lam = 0.25
+    b, psi, grad, xstar = _lasso_setup(lam)
+    reg = L1(psi, nu=1.0)
+    fb = ForwardBackward(tol=1e-10, maxit=5000, verbosity=0, gamma=0.5)
+    fb.setup(reg, hessnorm=1.0)
+    fb.set_grad(grad)
+    x = fb.solve(jnp.zeros_like(b), lam)
+    np.testing.assert_allclose(np.asarray(x), xstar, atol=1e-6)
+
+
+def test_prox21_vs_prox21m_single_band():
+    """With one band the 2-norm and signed-sum variants coincide."""
+    rng = np.random.default_rng(6)
+    v = jnp.asarray(rng.standard_normal((1, 2, 4, 4)))
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (2, 4, 4)))
+    a = np.asarray(prox_21(v, 0.5, sigma=1.1, weight=w))
+    m = np.asarray(prox_21m(v, 0.5, sigma=1.1, weight=w))
+    np.testing.assert_allclose(a, m, atol=1e-12)
