@@ -19,6 +19,9 @@ All are pure jittable functions; the band axis is vmapped/sharded by callers
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -96,3 +99,73 @@ def hessian_tree_dot(x, abspsfhat_parts, beam_parts, wsum, nx_psf: int, ny_psf: 
     if eta:
         out = out + eta * x
     return out
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["abspsfhat", "beam", "wsum_tot", "eta_b"],
+    meta_fields=["nx_psf", "ny_psf"],
+)
+@dataclasses.dataclass(frozen=True)
+class HessianCube:
+    """Cube-level sum-over-partitions PSF Hessian, a registered pytree.
+
+    The TPU-native replacement for the reference's per-band ``HessianTree``
+    actors behind ``HessTreeRay`` (hessian.py:439-615): the band axis is a
+    leading array axis (vmapped here; shard it over a mesh axis in
+    parallel/), and the object itself is a pytree so jitted solvers take it
+    as a traced argument (no baked-in constants, stable jit caches).
+
+    Conventions preserved (design D4): normalisation by the TOTAL wsum
+    across bands, per-band ``eta_b = eta * wsum_b / wsum_tot``.
+
+    Fields:
+        abspsfhat: (nband, npart, nx_psf, ny_psf//2+1) |PSFHAT| per partition.
+        beam: (nband, npart, nx, ny) or None.
+        wsum_tot: scalar total weight across bands/partitions.
+        eta_b: (nband,) per-band Tikhonov parameters.
+    """
+
+    nx_psf: int
+    ny_psf: int
+    abspsfhat: jnp.ndarray
+    beam: jnp.ndarray | None
+    wsum_tot: jnp.ndarray
+    eta_b: jnp.ndarray
+
+    @classmethod
+    def build(cls, abspsfhat, wsums, eta: float, nx_psf: int, ny_psf: int, beam=None):
+        """wsums: (nband,) per-band wsum; eta scaled per band by wsum share."""
+        wsums = jnp.asarray(wsums)
+        wsum_tot = jnp.sum(wsums)
+        eta_b = eta * wsums / wsum_tot
+        return cls(
+            nx_psf=nx_psf,
+            ny_psf=ny_psf,
+            abspsfhat=jnp.asarray(abspsfhat),
+            beam=None if beam is None else jnp.asarray(beam),
+            wsum_tot=wsum_tot,
+            eta_b=eta_b,
+        )
+
+    def dot(self, x):
+        return hess_cube_dot(self, x)
+
+    def hdot(self, x):
+        return hess_cube_dot(self, x)
+
+    def dot_partial(self):
+        """The matvec as a traced-pytree callable: the cube's arrays travel
+        as jit arguments rather than baked-in constants."""
+        return jax.tree_util.Partial(hess_cube_dot, self)
+
+
+def hess_cube_dot(h: HessianCube, x):
+    """Pure jittable cube Hessian matvec; pass via jax.tree_util.Partial."""
+
+    def band(ph, bm, eta, xb):
+        return hessian_tree_dot(xb, ph, bm, h.wsum_tot, h.nx_psf, h.ny_psf) + eta * xb
+
+    if h.beam is None:
+        return jax.vmap(lambda ph, eta, xb: band(ph, None, eta, xb))(h.abspsfhat, h.eta_b, x)
+    return jax.vmap(band)(h.abspsfhat, h.beam, h.eta_b, x)

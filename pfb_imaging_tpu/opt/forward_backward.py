@@ -24,18 +24,18 @@ def _norm_diff(x, xp):
 
 @partial(
     jax.jit,
-    static_argnames=("psi_dot", "psi_hdot", "prox_fn", "grad", "primal_prox", "nu", "acceleration", "tol", "maxit"),
+    static_argnames=("psi_dot", "psi_hdot", "prox_fn", "primal_prox", "nu", "acceleration", "tol", "maxit"),
 )
 def forward_backward_loop(
     x,
     lam,
     weight,
     step,
+    grad,  # jax.tree_util.Partial (traced pytree; see primal_dual_loop)
     *,
     psi_dot,
     psi_hdot,
     prox_fn,
-    grad,
     primal_prox=None,
     nu: float = 1.0,
     acceleration: bool = True,
@@ -120,16 +120,19 @@ class ForwardBackward:
         budget = self.maxit
         k_total = 0
         eps = 1.0
+        grad = self._grad
+        if not isinstance(grad, jax.tree_util.Partial):
+            grad = jax.tree_util.Partial(grad)
         while budget > 0:
             x, k, eps = forward_backward_loop(
                 x,
                 lam,
                 getattr(reg, "l1weight", None),
                 self.step,
+                grad,
                 psi_dot=reg.psi.dot,
                 psi_hdot=reg.psi.hdot,
                 prox_fn=reg.prox_fn,
-                grad=self._grad,
                 primal_prox=self.primal_prox,
                 nu=reg.nu,
                 acceleration=self.acceleration,

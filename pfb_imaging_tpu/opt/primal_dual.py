@@ -43,7 +43,7 @@ def _norm_diff(x, xp):
     return jnp.sqrt(num / den)
 
 
-@partial(jax.jit, static_argnames=("psi_dot", "psi_hdot", "grad", "primal_prox", "dual_update", "tol", "maxit", "minit"))
+@partial(jax.jit, static_argnames=("psi_dot", "psi_hdot", "primal_prox", "dual_update", "tol", "maxit", "minit"))
 def primal_dual_loop(
     x,
     v,
@@ -51,10 +51,11 @@ def primal_dual_loop(
     l1weight,
     sigma,
     tau,
+    grad,  # jax.tree_util.Partial: traced pytree so per-major-cycle closures
+    #        (new xtilde each cycle) do not retrigger tracing
     *,
     psi_dot,
     psi_hdot,
-    grad,
     primal_prox=None,
     dual_update=_dual_update_21m,
     tol: float = 1e-5,
@@ -159,6 +160,9 @@ class PrimalDual:
         k_total = 0
         eps = 1.0
         while budget > 0:
+            grad = self._grad
+            if not isinstance(grad, jax.tree_util.Partial):
+                grad = jax.tree_util.Partial(grad)
             x, v, k, eps = primal_dual_loop(
                 x,
                 v,
@@ -166,9 +170,9 @@ class PrimalDual:
                 getattr(reg, "l1weight", None),
                 self.sigma,
                 self.tau,
+                grad,
                 psi_dot=reg.psi.dot,
                 psi_hdot=reg.psi.hdot,
-                grad=self._grad,
                 primal_prox=self.primal_prox,
                 dual_update=self._dual_fn,
                 tol=self.tol,

@@ -1,0 +1,194 @@
+"""Deconvolution tests: minor cycles on synthetic PSFs and the minimum
+end-to-end PFB/SARA slice (simulate vis -> grid -> PCG forward -> PD
+backward -> exact residual), mirroring the reference's test_sara.py
+methodology of predicting known sources into the data column."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfb_imaging_tpu.deconv.clark import clark
+from pfb_imaging_tpu.deconv.hogbom import hogbom
+from pfb_imaging_tpu.deconv.nnls import nnls
+from pfb_imaging_tpu.deconv.presets import PRESETS
+from pfb_imaging_tpu.ops.gridder import dirty2vis, plan_wgridder, vis2dirty
+from pfb_imaging_tpu.ops.psf import psf_convolve, psf_to_psfhat
+
+
+def make_uvw(num_ants=16, seed=21, scale=3e3):
+    rng = np.random.RandomState(seed)
+    a1, a2 = np.asarray(list(itertools.combinations(range(num_ants), 2))).T
+    antennas = scale * rng.normal(size=(num_ants, 3))
+    antennas[:, 2] = 0.0
+    return antennas[a1] - antennas[a2]
+
+
+def simulate(nband=2, nx=64, seed=5):
+    """Simulate point sources observed by a small array; returns everything a
+    band-level imaging test needs."""
+    rng = np.random.default_rng(seed)
+    uvw = make_uvw()
+    nrow = uvw.shape[0]
+    freqs = np.linspace(0.9e9, 1.1e9, nband)
+    cell = 4.0e-5
+
+    model_true = np.zeros((nband, nx, nx))
+    srcs = [(nx // 2, nx // 2, 1.0), (nx // 3, 2 * nx // 3, 0.5)]
+    for p, q, f in srcs:
+        spec = f * (freqs / freqs[0]) ** -0.7
+        for b in range(nband):
+            model_true[b, p, q] = spec[b]
+
+    kw = dict(cellx=cell, celly=cell, epsilon=1e-9, do_wgridding=False, divide_by_n=False)
+    plans_im, plans_psf, vis, wgt = [], [], [], []
+    for b in range(nband):
+        fb = freqs[b : b + 1]
+        plan_im = plan_wgridder(uvw, fb, nx=nx, ny=nx, **kw)
+        plan_psf = plan_wgridder(uvw, fb, nx=2 * nx, ny=2 * nx, **kw)
+        plans_im.append(plan_im)
+        plans_psf.append(plan_psf)
+        vis.append(np.asarray(dirty2vis(plan_im, model_true[b])))
+        wgt.append(rng.uniform(0.8, 1.2, (nrow, 1)))
+    return dict(
+        uvw=uvw,
+        freqs=freqs,
+        cell=cell,
+        nx=nx,
+        nband=nband,
+        model_true=model_true,
+        plans_im=plans_im,
+        plans_psf=plans_psf,
+        vis=vis,
+        wgt=wgt,
+        srcs=srcs,
+    )
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate()
+
+
+def _grid_products(sim):
+    nband, nx = sim["nband"], sim["nx"]
+    dirty = np.zeros((nband, nx, nx))
+    psf = np.zeros((nband, 2 * nx, 2 * nx))
+    wsums = np.zeros(nband)
+    for b in range(nband):
+        dirty[b] = np.asarray(vis2dirty(sim["plans_im"][b], sim["vis"][b], wgt=sim["wgt"][b]))
+        ones = np.ones_like(sim["vis"][b])
+        psf[b] = np.asarray(vis2dirty(sim["plans_psf"][b], ones, wgt=sim["wgt"][b]))
+        wsums[b] = sim["wgt"][b].sum()
+    return dirty, psf, wsums
+
+
+def test_hogbom_recovers_sources(sim):
+    dirty, psf, wsums = _grid_products(sim)
+    wsum = wsums.sum()
+    model, residual, status = hogbom(
+        jnp.asarray(dirty / wsum), jnp.asarray(psf / wsum), pf=0.02, gamma=0.1, maxit=5000
+    )
+    model = np.asarray(model)
+    for p, q, f in sim["srcs"]:
+        rec = model[:, p, q].sum()
+        true = sim["model_true"][:, p, q].sum()
+        assert rec == pytest.approx(true, rel=0.2), f"source at ({p},{q})"
+    # everything else should be (nearly) empty
+    mask = np.zeros((sim["nx"], sim["nx"]), dtype=bool)
+    for p, q, _ in sim["srcs"]:
+        mask[p - 2 : p + 3, q - 2 : q + 3] = True
+    assert np.abs(model[:, ~mask]).max() < 0.05
+
+
+def test_clark_recovers_sources(sim):
+    dirty, psf, wsums = _grid_products(sim)
+    wsum = wsums.sum()
+    psfhat = np.asarray(psf_to_psfhat(psf / wsum))
+    model, residual, status = clark(
+        jnp.asarray(dirty / wsum),
+        jnp.asarray(psf / wsum),
+        jnp.asarray(psfhat),
+        jnp.asarray(wsums / wsum),
+        pf=0.02,
+        gamma=0.1,
+        maxit=20,
+        submaxit=2000,
+    )
+    model = np.asarray(model)
+    for p, q, f in sim["srcs"]:
+        rec = model[:, p, q].sum()
+        true = sim["model_true"][:, p, q].sum()
+        assert rec == pytest.approx(true, rel=0.2), f"source at ({p},{q})"
+
+
+def test_nnls_positive_model(sim):
+    dirty, psf, wsums = _grid_products(sim)
+    wsum = wsums.sum()
+    psfhat = np.asarray(psf_to_psfhat(psf / wsum))
+    nx = sim["nx"]
+    model = nnls(jnp.asarray(dirty / wsum), jnp.asarray(psfhat), 2 * nx, 2 * nx, tol=1e-4, maxit=50)
+    model = np.asarray(model)
+    assert (model >= 0).all()
+    # brightest recovered pixel should be at the brightest source
+    p, q, _ = sim["srcs"][0]
+    mfs = model.sum(axis=0)
+    assert np.unravel_index(mfs.argmax(), mfs.shape) == (p, q)
+
+
+@pytest.mark.parametrize("preset", ["sara", "ista"])
+def test_pfb_end_to_end(sim, preset):
+    """The minimum end-to-end slice: grid -> PCG forward -> proximal
+    backward -> exact residual via the gridder, 3 major cycles."""
+    dirty, psf, wsums = _grid_products(sim)
+    wsum = wsums.sum()
+    nband, nx = sim["nband"], sim["nx"]
+    abspsfhat = np.abs(np.asarray(psf_to_psfhat(psf)))[:, None]  # one partition per band
+
+    geometry = dict(nx=nx, ny=nx, nx_psf=2 * nx, ny_psf=2 * nx)
+    opts = dict(
+        bases="self,db1,db2",
+        nlevels=2,
+        eta=1e-4,
+        cg_tol=1e-4,
+        cg_maxit=100,
+        cg_minit=1,
+        pd_tol=1e-4,
+        pd_maxit=500,
+        fb_tol=1e-4,
+        fb_maxit=500,
+        rmsfactor=1.0,
+        l1_reweight_from=-1,
+        verbosity=0,
+    )
+    model0 = np.zeros((nband, nx, nx))
+    solver = PRESETS[preset](abspsfhat, wsums, geometry, model0, model0, opts)
+
+    residual_raw = dirty.copy()
+    rms0 = np.std(residual_raw.sum(axis=0) / wsum)
+    rms = rms0
+    # the test array is deliberately tiny/sparse, which makes abs(PSFHAT) a
+    # loose Hessian (see design D4) — convergence is ~0.84 rms/cycle here
+    for k in range(5):
+        solver.first(jnp.asarray(residual_raw / wsum))
+        solver.forward(None)
+        lam = rms  # rmsfactor * rms (reference lambda schedule, D5)
+        model = np.asarray(solver.backward(lam))
+        solver.last()
+        # exact residual through the measurement operator
+        for b in range(nband):
+            mvis = dirty2vis(sim["plans_im"][b], jnp.asarray(model[b]))
+            residual_raw[b] = np.asarray(
+                vis2dirty(sim["plans_im"][b], jnp.asarray(sim["vis"][b]) - mvis, wgt=jnp.asarray(sim["wgt"][b]))
+            )
+        rms = np.std(residual_raw.sum(axis=0) / wsum)
+
+    assert rms < 0.55 * rms0, f"rms did not decrease: {rms0} -> {rms}"
+    p, q, _ = sim["srcs"][0]
+    mfs = model.sum(axis=0)
+    assert np.unravel_index(mfs.argmax(), mfs.shape) == (p, q)
+    rec = model[:, p, q].sum()
+    true = sim["model_true"][:, p, q].sum()
+    # unaccelerated ISTA converges more slowly per cycle than PD-SARA
+    assert rec == pytest.approx(true, rel=0.4 if preset == "sara" else 0.65)
