@@ -1,0 +1,91 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+mesh-shape-parametrised tests runnable without real chips)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pfb_imaging_tpu.parallel.mesh import band_sharding, make_mesh, shard_cube
+from pfb_imaging_tpu.parallel.sharded import row_sharded_vis2dirty
+from pfb_imaging_tpu.ops.dft import vis2dirty_dft
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(band=4, row=2)
+    assert mesh.shape == {"band": 4, "row": 2}
+    mesh = make_mesh()
+    assert mesh.shape["band"] == len(jax.devices())
+
+
+def test_sharded_cube_matches_single_device():
+    """A band-sharded Hessian matvec must equal the unsharded one."""
+    from pfb_imaging_tpu.ops.hessian import HessianCube, hess_cube_dot
+    from pfb_imaging_tpu.ops.psf import psf_to_psfhat
+
+    rng = np.random.default_rng(0)
+    nband, nx, nxp = 8, 16, 32
+    psf = rng.standard_normal((nband, 1, nxp, nxp))
+    ph = np.abs(np.asarray(psf_to_psfhat(jnp.asarray(psf))))
+    hess = HessianCube.build(ph, np.ones(nband), 1e-3, nxp, nxp)
+    x = jnp.asarray(rng.standard_normal((nband, nx, nx)))
+
+    ref = np.asarray(hess_cube_dot(hess, x))
+
+    mesh = make_mesh(band=8, row=1)
+    spec = band_sharding(mesh)
+    hess_s = jax.tree_util.tree_map(lambda a: jax.device_put(a, spec) if a.ndim >= 1 and a.shape[0] == nband else a, hess)
+    x_s = shard_cube(mesh, x)
+    out = np.asarray(jax.jit(hess_cube_dot)(hess_s, x_s))
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
+
+
+def test_row_sharded_gridding_matches_dft():
+    rng = np.random.default_rng(1)
+    nrow, nchan, nx = 64, 2, 16
+    cell = 1e-4
+    uvw = rng.uniform(-200, 200, (nrow, 3))
+    freq = np.linspace(1e9, 1.1e9, nchan)
+    vis = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    wgt = rng.uniform(0.5, 2.0, (nrow, nchan))
+
+    kw = dict(nx=nx, ny=nx, cellx=cell, celly=cell, divide_by_n=True)
+    ref = np.asarray(vis2dirty_dft(uvw, freq, vis, wgt=wgt, row_block=16, **kw))
+
+    mesh = make_mesh(band=4, row=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rowspec = NamedSharding(mesh, P(("band", "row")))
+    out = row_sharded_vis2dirty(
+        mesh,
+        jax.device_put(jnp.asarray(uvw), rowspec),
+        jnp.asarray(freq),
+        jax.device_put(jnp.asarray(vis), rowspec),
+        jax.device_put(jnp.asarray(wgt), rowspec),
+        row_block=8,
+        **kw,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
+
+
+def test_graft_entry_single_chip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    model, update, dual = out
+    assert model.shape == args[2].shape
+    assert np.isfinite(np.asarray(model)).all()
+
+
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
