@@ -1,0 +1,116 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline: gridded visibilities/sec/chip through the wgridder adjoint
+(vis2dirty), the reference's hot loop (ducc0 vis2dirty inside
+grid_partition, SURVEY.md §3.1). Secondary numbers (Hessian matvec, PCG
+iters/sec) are printed to stderr for the curious but the driver contract is
+the single JSON line on stdout.
+
+``vs_baseline``: the reference publishes no vis/sec number (BASELINE.md —
+its wall-clock numbers are whole-pipeline on a fat CPU node), so the
+baseline is the reference substrate's order of magnitude: ducc0's
+multi-threaded CPU wgridder sustains ~1e7-1e8 gridded vis/s on a server
+node; we normalise against 5e7.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_VIS_PER_SEC = 5e7
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pfb_imaging_tpu.ops.gridder import plan_wgridder, vis2dirty
+    from pfb_imaging_tpu.ops.hessian import HessianCube, hess_cube_dot
+    from pfb_imaging_tpu.ops.psf import psf_to_psfhat
+    from pfb_imaging_tpu.opt.pcg import pcg
+
+    rng = np.random.default_rng(0)
+
+    # ── headline: wgridder vis2dirty throughput ──────────────────────
+    nrow, nchan, nx = 200_000, 4, 2048
+    uvw = rng.uniform(-4000, 4000, (nrow, 3))
+    uvw[:, 2] *= 0.01
+    freq = np.linspace(1e9, 1.1e9, nchan)
+    cell = 4.0e-6
+    t0 = time.time()
+    plan = plan_wgridder(
+        uvw, freq, nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-5,
+        do_wgridding=True, divide_by_n=False, dtype=np.float32,
+    )
+    log(f"plan: {time.time() - t0:.1f}s (nw={plan.nw}, support={plan.support}, cap={plan.capacity})")
+
+    vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+    vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+    vis = jax.jit(jax.lax.complex)(vr, vi)
+    t0 = time.time()
+    d = vis2dirty(plan, vis)
+    d.block_until_ready()
+    log(f"vis2dirty compile+first: {time.time() - t0:.1f}s")
+    nrep = 5
+    t0 = time.time()
+    for _ in range(nrep):
+        d = vis2dirty(plan, vis)
+    d.block_until_ready()
+    dt_grid = (time.time() - t0) / nrep
+    vis_per_sec = nrow * nchan / dt_grid
+    log(f"vis2dirty: {dt_grid * 1e3:.2f} ms -> {vis_per_sec / 1e6:.1f} Mvis/s")
+
+    # ── secondary: PSF-Hessian matvec + PCG iters/sec at 4k ──────────
+    try:
+        nxh = 4096
+        psf = rng.standard_normal((1, 1, 2 * nxh, 2 * nxh)).astype(np.float32)
+        ph = jax.jit(lambda p: jnp.abs(psf_to_psfhat(p)))(jnp.asarray(psf))
+        hess = HessianCube.build(ph, np.ones(1, np.float32), 1e-5, 2 * nxh, 2 * nxh)
+        x = jnp.asarray(rng.standard_normal((1, nxh, nxh)).astype(np.float32))
+        hdot = jax.jit(hess_cube_dot)
+        y = hdot(hess, x)
+        y.block_until_ready()
+        t0 = time.time()
+        for _ in range(5):
+            y = hdot(hess, x)
+        y.block_until_ready()
+        dt_hess = (time.time() - t0) / 5
+        log(f"hessian matvec {nxh}: {dt_hess * 1e3:.1f} ms")
+
+        niter = 10
+        run_pcg = jax.jit(
+            lambda h, b: pcg(jax.tree_util.Partial(hess_cube_dot, h), b, tol=0.0, maxit=niter, minit=niter)
+        )
+        u = run_pcg(hess, x)
+        u.block_until_ready()
+        t0 = time.time()
+        u = run_pcg(hess, x)
+        u.block_until_ready()
+        dt_pcg = time.time() - t0
+        log(f"pcg {niter} iters at {nxh}: {dt_pcg:.2f}s -> {niter / dt_pcg:.1f} iters/s")
+    except Exception as e:  # secondary metrics must not sink the headline
+        log(f"secondary metrics failed: {e!r:.200}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "gridded_visibilities_per_sec_per_chip",
+                "value": round(vis_per_sec, 1),
+                "unit": "vis/s",
+                "vs_baseline": round(vis_per_sec / BASELINE_VIS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

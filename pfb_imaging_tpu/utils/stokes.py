@@ -1,0 +1,93 @@
+"""Stokes <-> correlation conversion with optional diagonal Jones weighting.
+
+The reference selects pre-generated radiomesh expression functions per
+(product, feed type, ncorr, weighting scheme, jones mode)
+(utils/stokes.py:16-155, utils/weighting.py:275-468 ``weight_data``). Here
+the same math is one weighted-least-squares formula, jitted:
+
+For correlation c with response a_c = g_p[c] * conj(g_q[c]) * T[c, s]
+(T the feed-to-Stokes brightness map), the single-product estimate is
+
+    S_s  = sum_c w_c conj(a_c) v_c / sum_c w_c |a_c|^2
+    W_s  = sum_c w_c |a_c|^2
+
+which reduces to the familiar I = (XX+YY)/2 combinations for identity
+Jones (and is the reference's "minvar" scheme).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# brightness maps: v_c = sum_s T[c, s] * S_s with S ordered (I, Q, U, V)
+_T_LINEAR = np.array(
+    [
+        [1, 1, 0, 0],  # XX = I + Q
+        [0, 0, 1, 1j],  # XY = U + iV
+        [0, 0, 1, -1j],  # YX = U - iV
+        [1, -1, 0, 0],  # YY = I - Q
+    ],
+    dtype=np.complex128,
+)
+_T_CIRCULAR = np.array(
+    [
+        [1, 0, 0, 1],  # RR = I + V
+        [0, 1, 1j, 0],  # RL = Q + iU
+        [0, 1, -1j, 0],  # LR = Q - iU
+        [1, 0, 0, -1],  # LL = I - V
+    ],
+    dtype=np.complex128,
+)
+_STOKES_IDX = {"I": 0, "Q": 1, "U": 2, "V": 3}
+
+
+def brightness_map(feed_type: str, ncorr: int) -> np.ndarray:
+    """T (ncorr, 4); 2-corr data carries the diagonal correlations only."""
+    T = _T_LINEAR if feed_type.lower() == "linear" else _T_CIRCULAR
+    if ncorr == 4:
+        return T
+    if ncorr == 2:
+        return T[[0, 3]]
+    if ncorr == 1:
+        return T[[0]]
+    raise ValueError(f"Unsupported ncorr {ncorr}")
+
+
+@partial(jax.jit, static_argnames=("product", "feed_type"))
+def weight_data(vis, wgt, jones_p=None, jones_q=None, product: str = "I", feed_type: str = "linear"):
+    """Convert correlations to one Stokes product with weights.
+
+    Args:
+        vis: (ncorr, nrow, nchan) complex correlations.
+        wgt: (ncorr, nrow, nchan) real weights.
+        jones_p/jones_q: optional (ncorr, nrow, nchan) diagonal Jones terms
+            for antennas p and q of each row.
+        product: one of "I", "Q", "U", "V".
+        feed_type: "linear" or "circular".
+
+    Returns:
+        (vis_s, wgt_s): (nrow, nchan) Stokes visibilities and weights.
+    """
+    ncorr = vis.shape[0]
+    T = brightness_map(feed_type, ncorr)[:, _STOKES_IDX[product]]
+    t = jnp.asarray(T)[:, None, None]
+    if jones_p is not None:
+        a = jones_p * jnp.conj(jones_q) * t
+    else:
+        a = jnp.broadcast_to(t, vis.shape)
+    wa2 = wgt * jnp.abs(a) ** 2
+    den = jnp.sum(wa2, axis=0)
+    num = jnp.sum(wgt * jnp.conj(a) * vis, axis=0)
+    vis_s = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+    return vis_s, den
+
+
+def stokes_to_corr(stokes_vis, feed_type: str = "linear", ncorr: int = 4):
+    """Map (nstokes=4, nrow, nchan) Stokes vis to correlations (degrid path,
+    reference core/degrid.py:292-331)."""
+    T = brightness_map(feed_type, ncorr)
+    return jnp.einsum("cs,s...->c...", jnp.asarray(T), stokes_vis)

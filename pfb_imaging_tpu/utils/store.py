@@ -1,0 +1,102 @@
+"""On-disk data-product tree — the framework's IR between pipeline stages.
+
+The reference moves all bulk data between processes through zarr stores
+(``.xds``/``.dds``/``.dt`` products, SURVEY.md §2.7) with concurrent
+writers touching distinct group paths. This image carries no zarr, so the
+same design is expressed as a directory tree:
+
+    store/
+      .attrs.json
+      band0000_time0000/
+        .attrs.json
+        DIRTY.npy  PSF.npy  WSUM.npy ...
+        part0000/
+          .attrs.json
+          VIS.npy  WEIGHT.npy  UVW.npy ...
+
+Concurrent-writer safety is the reference's by-construction rule
+(imager-pipeline.md:131-134): writers own disjoint subtrees; parents are
+created up front by the driver. Arrays are .npy (memory-mappable for the
+selective per-band loads the band workers do, band_worker.py:61-106).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+class TreeStore:
+    """A node in the product tree."""
+
+    def __init__(self, path: str | Path, mode: str = "r"):
+        self.path = Path(path)
+        self.mode = mode
+        if mode == "w":
+            self.path.mkdir(parents=True, exist_ok=True)
+        elif not self.path.is_dir():
+            raise FileNotFoundError(f"No store at {self.path}")
+
+    # ── attrs ────────────────────────────────────────────────────────
+
+    @property
+    def attrs(self) -> dict:
+        f = self.path / ".attrs.json"
+        if f.exists():
+            return json.loads(f.read_text())
+        return {}
+
+    def set_attrs(self, **kw) -> None:
+        attrs = self.attrs
+        attrs.update({k: self._jsonable(v) for k, v in kw.items()})
+        (self.path / ".attrs.json").write_text(json.dumps(attrs, indent=1))
+
+    @staticmethod
+    def _jsonable(v):
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, (np.floating, np.integer)):
+            return v.item()
+        return v
+
+    # ── arrays ───────────────────────────────────────────────────────
+
+    def write(self, name: str, array) -> None:
+        np.save(self.path / f"{name}.npy", np.asarray(array))
+
+    def read(self, name: str, mmap: bool = False):
+        return np.load(self.path / f"{name}.npy", mmap_mode="r" if mmap else None)
+
+    def has(self, name: str) -> bool:
+        return (self.path / f"{name}.npy").exists()
+
+    def arrays(self) -> list[str]:
+        return sorted(p.stem for p in self.path.glob("*.npy"))
+
+    # ── groups ───────────────────────────────────────────────────────
+
+    def group(self, name: str) -> "TreeStore":
+        mode = self.mode if (self.path / name).is_dir() or self.mode == "w" else "r"
+        return TreeStore(self.path / name, mode="w" if self.mode == "w" else mode)
+
+    def groups(self) -> list[str]:
+        return sorted(p.name for p in self.path.iterdir() if p.is_dir())
+
+    def __repr__(self):
+        return f"TreeStore({self.path}, groups={self.groups()}, arrays={self.arrays()})"
+
+
+def band_key(band: int, time: int = 0) -> str:
+    """Node naming convention (reference ``band####_time####``)."""
+    return f"band{band:04d}_time{time:04d}"
+
+
+def part_key(part: int) -> str:
+    return f"part{part:04d}"
+
+
+def open_store(path, mode="r") -> TreeStore:
+    return TreeStore(path, mode=mode)

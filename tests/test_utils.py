@@ -1,0 +1,131 @@
+"""Utils layer tests: FITS round trip, TreeStore, Stokes conversion,
+modelspec fit/eval round trip, restoration, spi, transients."""
+
+import numpy as np
+import pytest
+
+from pfb_imaging_tpu.utils.fits import load_fits, save_fits, set_wcs
+from pfb_imaging_tpu.utils.store import TreeStore, band_key
+from pfb_imaging_tpu.utils.stokes import stokes_to_corr, weight_data
+from pfb_imaging_tpu.utils.modelspec import eval_coeffs_to_cube, fit_image_cube, load_mds, save_mds
+from pfb_imaging_tpu.utils.restoration import convolve2gaussres
+from pfb_imaging_tpu.models.spi import fit_spi_components
+from pfb_imaging_tpu.models.transients import transient_spectrum
+
+
+def test_fits_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((1, 3, 16, 20)).astype(np.float32)  # (ncorr,nchan,nx,ny)
+    freq = np.linspace(1e9, 1.2e9, 3)
+    hdr = set_wcs(1e-3, 1e-3, 16, 20, (0.1, -0.5), freq, gausspar=(3.0, 2.0, 0.5), ms_time=5e9)
+    name = str(tmp_path / "test.fits")
+    save_fits(data, name, hdr)
+    back, hdr2 = load_fits(name)
+    np.testing.assert_allclose(back, data, atol=1e-6)
+    assert hdr2["CTYPE1"] == "RA---SIN"
+    assert hdr2["CRVAL3"] == pytest.approx(freq[1])
+    assert hdr2["BMAJ"] == pytest.approx(3.0)
+    assert hdr2["CDELT1"] == pytest.approx(-1e-3)
+
+
+def test_tree_store(tmp_path):
+    root = TreeStore(tmp_path / "prod.dt", mode="w")
+    root.set_attrs(nband=2, cell_rad=1e-5)
+    node = root.group(band_key(0))
+    node.write("DIRTY", np.ones((8, 8)))
+    node.set_attrs(wsum=3.5)
+    part = node.group("part0000")
+    part.write("UVW", np.zeros((10, 3)))
+
+    ro = TreeStore(tmp_path / "prod.dt")
+    assert ro.attrs["nband"] == 2
+    assert ro.groups() == ["band0000_time0000"]
+    n = ro.group("band0000_time0000")
+    np.testing.assert_allclose(n.read("DIRTY"), 1.0)
+    assert n.attrs["wsum"] == 3.5
+    assert n.group("part0000").read("UVW", mmap=True).shape == (10, 3)
+
+
+@pytest.mark.parametrize("feed", ["linear", "circular"])
+@pytest.mark.parametrize("ncorr", [2, 4])
+def test_weight_data_identity_jones(feed, ncorr):
+    """For unit weights and pure Stokes-I sky, every product recovers I on
+    the diagonal and 0 on the others."""
+    rng = np.random.default_rng(1)
+    nrow, nchan = 10, 3
+    I = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    stokes = np.zeros((4, nrow, nchan), dtype=complex)
+    stokes[0] = I
+    vis = np.asarray(stokes_to_corr(stokes, feed_type=feed, ncorr=ncorr))
+    wgt = np.ones((ncorr, nrow, nchan))
+    vis_i, wgt_i = weight_data(vis, wgt, product="I", feed_type=feed)
+    np.testing.assert_allclose(np.asarray(vis_i), I, atol=1e-12)
+    assert np.asarray(wgt_i).min() > 0
+    vis_q, _ = weight_data(vis, wgt, product="Q", feed_type=feed)
+    np.testing.assert_allclose(np.asarray(vis_q), 0.0, atol=1e-12)
+
+
+def test_weight_data_with_jones():
+    """Diagonal gains must be corrected exactly for a single-product sky."""
+    rng = np.random.default_rng(2)
+    nrow, nchan, ncorr = 8, 2, 2
+    I = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    stokes = np.zeros((4, nrow, nchan), dtype=complex)
+    stokes[0] = I
+    clean = np.asarray(stokes_to_corr(stokes, "linear", ncorr))
+    gp = rng.standard_normal((ncorr, nrow, nchan)) + 1j * rng.standard_normal((ncorr, nrow, nchan))
+    gq = rng.standard_normal((ncorr, nrow, nchan)) + 1j * rng.standard_normal((ncorr, nrow, nchan))
+    vis = gp * np.conj(gq) * clean
+    wgt = np.ones((ncorr, nrow, nchan))
+    vis_i, _ = weight_data(vis, wgt, jones_p=gp, jones_q=gq, product="I", feed_type="linear")
+    np.testing.assert_allclose(np.asarray(vis_i), I, atol=1e-10)
+
+
+def test_modelspec_roundtrip(tmp_path):
+    """Fitting with a full basis reproduces the cube exactly at the sample
+    points (reference test_model2comps round trip)."""
+    rng = np.random.default_rng(3)
+    ntime, nband, nx, ny = 2, 4, 8, 8
+    image = np.zeros((ntime, nband, nx, ny))
+    for _ in range(5):
+        image[:, :, rng.integers(0, nx), rng.integers(0, ny)] = rng.standard_normal((ntime, nband))
+    times = np.linspace(0, 100, ntime)
+    freqs = np.linspace(1e9, 1.3e9, nband)
+    coeffs, ix, iy, attrs = fit_image_cube(times, freqs, image, nbasisf=nband, nbasist=ntime)
+    cube = eval_coeffs_to_cube(times, freqs, coeffs, ix, iy, attrs)
+    np.testing.assert_allclose(cube, image, atol=1e-9)
+
+    store = TreeStore(tmp_path / "model.mds", mode="w")
+    save_mds(store, coeffs, ix, iy, attrs)
+    c2, ix2, iy2, at2 = load_mds(TreeStore(tmp_path / "model.mds"))
+    cube2 = eval_coeffs_to_cube(times, freqs, c2, ix2, iy2, at2)
+    np.testing.assert_allclose(cube2, image, atol=1e-9)
+
+
+def test_convolve2gaussres_point_source():
+    """Convolving a delta with the clean beam gives the unit-sum Gaussian."""
+    img = np.zeros((1, 32, 32))
+    img[0, 16, 16] = 1.0
+    out = convolve2gaussres(img, (4.0, 3.0, 0.3))
+    assert out.sum() == pytest.approx(1.0, rel=1e-6)
+    assert np.unravel_index(out[0].argmax(), out[0].shape) == (16, 16)
+
+
+def test_spi_fit():
+    freqs = np.linspace(0.8e9, 1.6e9, 8)
+    ref = 1.0e9
+    alpha_true, i0_true = -0.7, 2.5
+    data = i0_true * (freqs / ref) ** alpha_true
+    alpha, aerr, i0, ierr = fit_spi_components(data[None], np.ones_like(freqs), freqs, ref)
+    assert alpha[0] == pytest.approx(alpha_true, abs=1e-10)
+    assert i0[0] == pytest.approx(i0_true, rel=1e-10)
+
+
+def test_transients():
+    times = np.linspace(0, 100, 50)
+    freqs = np.linspace(1e9, 1.2e9, 4)
+    for kind in ("gaussian", "exponential", "step", "periodic"):
+        ds = transient_spectrum(times, freqs, kind=kind, t0=50.0, width=10.0, amplitude=2.0)
+        assert ds.shape == (50, 4)
+        assert ds.max() <= 2.0 + 1e-12
+        assert (ds >= 0).all()
