@@ -3,8 +3,16 @@
 Headline: gridded visibilities/sec/chip through the wgridder adjoint
 (vis2dirty), the reference's hot loop (ducc0 vis2dirty inside
 grid_partition, SURVEY.md §3.1). Secondary numbers (Hessian matvec, PCG
-iters/sec) are printed to stderr for the curious but the driver contract is
-the single JSON line on stdout.
+iters/sec) go to stderr; the driver contract is the single JSON line on
+stdout.
+
+Methodology notes for this environment (axon-tunnelled TPU):
+  * every eager op is a remote compile, so each timed quantity is ONE jitted
+    program with an internal ``lax.fori_loop`` over ``nrep`` iterations,
+    chaining the input each iteration (no dispatch elision) and returning a
+    (1,)-shaped checksum whose host transfer forces completion;
+  * complex64 device->host transfers are unimplemented — only f32 scalars
+    cross the boundary.
 
 ``vs_baseline``: the reference publishes no vis/sec number (BASELINE.md —
 its wall-clock numbers are whole-pipeline on a fat CPU node), so the
@@ -20,6 +28,7 @@ import time
 import numpy as np
 
 BASELINE_VIS_PER_SEC = 5e7
+NREP = 4
 
 
 def log(msg):
@@ -29,6 +38,7 @@ def log(msg):
 def main():
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -55,19 +65,27 @@ def main():
 
     vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
     vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
-    vis = jax.jit(jax.lax.complex)(vr, vi)
+
+    @partial(jax.jit, static_argnames=("nrep",))
+    def grid_loop(plan, vr, vi, nrep):
+        def body(i, carry):
+            acc, vr, vi = carry
+            vis = jax.lax.complex(vr, vi)
+            d = vis2dirty(plan, vis)
+            return (acc + jnp.sum(d * d), vr * 1.0000001, vi * 0.9999999)
+
+        acc, _, _ = jax.lax.fori_loop(0, nrep, body, (jnp.float32(0), vr, vi))
+        return acc.reshape(1)
+
     t0 = time.time()
-    d = vis2dirty(plan, vis)
-    d.block_until_ready()
-    log(f"vis2dirty compile+first: {time.time() - t0:.1f}s")
-    nrep = 5
+    np.asarray(grid_loop(plan, vr, vi, 1))
+    log(f"grid_loop compile+first: {time.time() - t0:.1f}s")
+    np.asarray(grid_loop(plan, vr, vi, NREP))  # compile nrep variant
     t0 = time.time()
-    for _ in range(nrep):
-        d = vis2dirty(plan, vis)
-    d.block_until_ready()
-    dt_grid = (time.time() - t0) / nrep
+    np.asarray(grid_loop(plan, vr, vi, NREP))
+    dt_grid = (time.time() - t0) / NREP
     vis_per_sec = nrow * nchan / dt_grid
-    log(f"vis2dirty: {dt_grid * 1e3:.2f} ms -> {vis_per_sec / 1e6:.1f} Mvis/s")
+    log(f"vis2dirty: {dt_grid * 1e3:.2f} ms/call -> {vis_per_sec / 1e6:.1f} Mvis/s")
 
     # ── secondary: PSF-Hessian matvec + PCG iters/sec at 4k ──────────
     try:
@@ -76,29 +94,38 @@ def main():
         ph = jax.jit(lambda p: jnp.abs(psf_to_psfhat(p)))(jnp.asarray(psf))
         hess = HessianCube.build(ph, np.ones(1, np.float32), 1e-5, 2 * nxh, 2 * nxh)
         x = jnp.asarray(rng.standard_normal((1, nxh, nxh)).astype(np.float32))
-        hdot = jax.jit(hess_cube_dot)
-        y = hdot(hess, x)
-        y.block_until_ready()
+
+        @partial(jax.jit, static_argnames=("nrep",))
+        def hess_loop(hess, x, nrep):
+            def body(i, carry):
+                acc, x = carry
+                y = hess_cube_dot(hess, x)
+                return (acc + jnp.sum(y * y), x * 1.0000001)
+
+            acc, _ = jax.lax.fori_loop(0, nrep, body, (jnp.float32(0), x))
+            return acc.reshape(1)
+
+        np.asarray(hess_loop(hess, x, 1))
+        np.asarray(hess_loop(hess, x, NREP))
         t0 = time.time()
-        for _ in range(5):
-            y = hdot(hess, x)
-        y.block_until_ready()
-        dt_hess = (time.time() - t0) / 5
+        np.asarray(hess_loop(hess, x, NREP))
+        dt_hess = (time.time() - t0) / NREP
         log(f"hessian matvec {nxh}: {dt_hess * 1e3:.1f} ms")
 
         niter = 10
-        run_pcg = jax.jit(
-            lambda h, b: pcg(jax.tree_util.Partial(hess_cube_dot, h), b, tol=0.0, maxit=niter, minit=niter)
-        )
-        u = run_pcg(hess, x)
-        u.block_until_ready()
+
+        @jax.jit
+        def pcg_run(hess, b):
+            u = pcg(jax.tree_util.Partial(hess_cube_dot, hess), b, tol=0.0, maxit=niter, minit=niter)
+            return jnp.sum(u * u).reshape(1)
+
+        np.asarray(pcg_run(hess, x))
         t0 = time.time()
-        u = run_pcg(hess, x)
-        u.block_until_ready()
+        np.asarray(pcg_run(hess, x * 1.0000001))
         dt_pcg = time.time() - t0
         log(f"pcg {niter} iters at {nxh}: {dt_pcg:.2f}s -> {niter / dt_pcg:.1f} iters/s")
     except Exception as e:  # secondary metrics must not sink the headline
-        log(f"secondary metrics failed: {e!r:.200}")
+        log(f"secondary metrics failed: {e!r}")
 
     print(
         json.dumps(

@@ -1,0 +1,175 @@
+"""``deconv``: the composable PFB major cycle on a .dt tree
+(reference core/deconv.py:22-403).
+
+Behaviour preserved from the reference:
+  * lambda schedule: ``lam = (init_factor if iter0==0 and k==0 else 1)
+    * rmsfactor * rms`` (design D5, core/deconv.py:230);
+  * checkpoint/resume through the tree: band nodes carry niters/rms/rmax/
+    hess_norm attrs and MODEL/UPDATE/MODEL_BEST arrays, reruns warm-start
+    (core/deconv.py:150-170, SURVEY.md §5.4);
+  * divergence counter: consecutive (rms up AND rmax up) terminates
+    (core/deconv.py:383-387); best-model tracking keeps the lowest-rms
+    model (core/deconv.py:340-342);
+  * component-model fit to .mds + model re-evaluation from the fit each
+    cycle (core/deconv.py:238-305);
+  * hess_norm cached in attrs to skip the power method on resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..deconv.presets import PRESETS
+from ..utils.logging import get_logger
+from ..utils.modelspec import eval_coeffs_to_cube, fit_image_cube, save_mds
+from ..utils.store import TreeStore
+from .imager import residual_from_parts
+
+log = get_logger("DECONV")
+
+
+def deconv(
+    dt_path,
+    preset: str = "sara",
+    niter: int = 5,
+    rmsfactor: float = 1.0,
+    init_factor: float = 1.0,
+    gamma: float = 1.0,
+    eta: float = 1e-5,
+    bases: str = "self,db1,db2",
+    nlevels: int = 2,
+    positivity: int = 1,
+    cg_tol: float = 1e-4,
+    cg_maxit: int = 100,
+    pd_tol: float = 1e-5,
+    pd_maxit: int = 500,
+    l1_reweight_from: int = 5,
+    fit_mds: bool = True,
+    nbasisf: int | None = None,
+    epsilon: float = 1e-7,
+    do_wgridding: bool = True,
+    diverge_count: int = 3,
+    double_precision: bool = True,
+    hess_norm: float | None = None,
+    opts_extra: dict | None = None,
+):
+    """Run the major cycle in place on the tree. Returns (model, residual)."""
+    import jax.numpy as jnp
+
+    dt = TreeStore(dt_path, mode="w")
+    attrs = dt.attrs
+    nx, ny = attrs["nx"], attrs["ny"]
+    nx_psf, ny_psf = attrs["nx_psf"], attrs["ny_psf"]
+    band_nodes = [k for k in dt.groups() if k.startswith("band")]
+    nband = len(band_nodes)
+    assert nband == attrs["nband"]
+    freq_out = np.asarray(attrs["freq_out"], dtype=float)
+
+    # driver holds only image-scale cubes (design D10)
+    wsums = np.zeros(nband)
+    residual = np.zeros((nband, nx, ny))
+    model = np.zeros((nband, nx, ny))
+    update = np.zeros((nband, nx, ny))
+    abspsfhat = []
+    iter0 = 0
+    for b, key in enumerate(band_nodes):
+        node = dt.group(key)
+        wsums[b] = float(np.asarray(node.read("WSUM"))[0])
+        name = "RESIDUAL" if node.has("RESIDUAL") else "DIRTY"
+        residual[b] = np.asarray(node.read(name))
+        if node.has("MODEL"):
+            model[b] = np.asarray(node.read("MODEL"))
+        if node.has("UPDATE"):
+            update[b] = np.asarray(node.read("UPDATE"))
+        iter0 = max(iter0, int(node.attrs.get("niters", 0)))
+        # per-partition |PSFHAT| (abs taken at load, reference band_worker.py:95)
+        parts = node.groups()
+        ph = np.stack([np.abs(np.asarray(node.group(p).read("PSFHAT"))) for p in parts]) if parts else np.abs(
+            np.asarray(node.read("PSFHAT"))
+        )[None]
+        abspsfhat.append(ph)
+    abspsfhat = np.stack(abspsfhat)  # (nband, npart, nxp, nyo2)
+    wsum = wsums.sum()
+
+    cached_norm = dt.attrs.get("hess_norm")
+    opts = dict(
+        bases=bases,
+        nlevels=nlevels,
+        eta=eta,
+        gamma=gamma,
+        positivity=positivity,
+        cg_tol=cg_tol,
+        cg_maxit=cg_maxit,
+        pd_tol=pd_tol,
+        pd_maxit=pd_maxit,
+        rmsfactor=rmsfactor,
+        l1_reweight_from=l1_reweight_from,
+        hess_norm=hess_norm if hess_norm is not None else cached_norm,
+        verbosity=1,
+    )
+    if opts_extra:
+        opts.update(opts_extra)
+
+    geometry = dict(nx=nx, ny=ny, nx_psf=nx_psf, ny_psf=ny_psf)
+    solver = PRESETS[preset](abspsfhat, wsums, geometry, model, update, opts)
+    dt.set_attrs(hess_norm=solver.hess_norm)
+
+    best_rms = np.inf
+    best_model = model.copy()
+    rms = float(np.std(residual.sum(axis=0) / wsum))
+    rmax = float(np.abs(residual.sum(axis=0) / wsum).max())
+    diverge = 0
+    log.info("start: iter0=%d rms=%.3e rmax=%.3e", iter0, rms, rmax)
+
+    for k in range(iter0, iter0 + niter):
+        solver.first(jnp.asarray(residual / wsum))
+        update = np.asarray(solver.forward(None))
+        lam = (init_factor if (iter0 == 0 and k == 0) else 1.0) * rmsfactor * rms  # D5
+        model = np.asarray(solver.backward(lam))
+        solver.last()
+
+        if fit_mds and model.any():
+            # fit component model, re-evaluate the model from the fit
+            # (keeps the on-disk model consistent with the .mds)
+            coeffs, ix, iy, mattrs = fit_image_cube(
+                np.asarray([0.0]), freq_out, model[None], nbasisf=nbasisf or nband
+            )
+            mds = TreeStore(str(dt.path).replace(".dt", ".mds"), mode="w")
+            save_mds(mds, coeffs, ix, iy, mattrs)
+            model = eval_coeffs_to_cube(np.asarray([0.0]), freq_out, coeffs, ix, iy, mattrs)[0]
+
+        # exact residual through the measurement operator, per band
+        for b, key in enumerate(band_nodes):
+            node = dt.group(key)
+            residual[b] = residual_from_parts(
+                node, model[b], epsilon=epsilon, do_wgridding=do_wgridding, double_precision=double_precision
+            )
+
+        rms_p, rmax_p = rms, rmax
+        mfs = residual.sum(axis=0) / wsum
+        rms = float(np.std(mfs))
+        rmax = float(np.abs(mfs).max())
+        log.info("iter %d: lam=%.3e rms=%.3e rmax=%.3e", k + 1, lam, rms, rmax)
+
+        if rms < best_rms:
+            best_rms = rms
+            best_model = model.copy()
+
+        # checkpoint write-back (reference core/deconv.py:346-372)
+        for b, key in enumerate(band_nodes):
+            node = dt.group(key)
+            node.write("MODEL", model[b])
+            node.write("UPDATE", update[b])
+            node.write("RESIDUAL", residual[b])
+            node.write("MODEL_BEST", best_model[b])
+            node.set_attrs(niters=k + 1, rms=rms, rmax=rmax, hess_norm=solver.hess_norm)
+
+        if rms > rms_p and rmax > rmax_p:
+            diverge += 1
+            if diverge >= diverge_count:
+                log.info("Algorithm is diverging, terminating")
+                break
+        else:
+            diverge = 0
+
+    return model, residual

@@ -1,0 +1,285 @@
+"""``imager``: Stokes vis store -> image DataTree (.dt analogue).
+
+Reference core/imager.py:210-849 (two Ray passes over the MSv4 tree). The
+structure is preserved — counts reduction at weight-grouping granularity,
+per-partition Briggs weights, per-band gridding of DIRTY/PSF/PSFHAT/WSUM
+with the off-centre PSF phase ramp (gridder.py:877-884), MFS products and
+clean-beam fit — but the parallel substrate is jitted gridding kernels
+(band/row mesh axes in parallel/), not Ray task fan-out.
+
+Output tree (reference schema, SURVEY.md §2.7):
+    <out>_<product>.dt/
+      .attrs: nband, nx, ny, nx_psf, ny_psf, cell_rad, ra, dec, freq_out
+      band####_time0000/
+        DIRTY PSF PSFHAT WSUM (+ attrs freq_out, wsum)
+        part####/ VIS WEIGHT MASK UVW FREQ (vis-space, for exact residuals)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..constants import LIGHTSPEED
+from ..geometry import fitcleanbeam, set_image_size, wgridder_conventions
+from ..ops.gridder import plan_wgridder, vis2dirty
+from ..ops.weighting import box_sum_counts, compute_counts, counts_to_weights, filter_extreme_counts
+from ..utils.fits import save_fits, set_wcs
+from ..utils.logging import get_logger
+from ..utils.store import TreeStore, band_key, part_key
+
+log = get_logger("IMAGER")
+
+
+def band_mapping(freqs: np.ndarray, nband: int):
+    """Split channels into nband contiguous bins (reference band-edge
+    computation, core/imager.py:389-466). Returns list of channel slices."""
+    edges = np.linspace(freqs.min(), freqs.max() * (1 + 1e-12), nband + 1)
+    idx = np.digitize(freqs, edges) - 1
+    idx = np.clip(idx, 0, nband - 1)
+    return [np.where(idx == b)[0] for b in range(nband)]
+
+
+def _psf_vis(uvw, freq, l0, m0):
+    """Off-centre PSF visibilities carry a phase ramp (gridder.py:877-884)."""
+    flip_u, flip_v, flip_w, x0, y0 = wgridder_conventions(l0, m0)
+    if x0 == 0 and y0 == 0:
+        return np.ones((uvw.shape[0], freq.size), dtype=np.complex128)
+    signu = -1.0 if flip_u else 1.0
+    signv = -1.0 if flip_v else 1.0
+    signx, signy = signu, signv
+    n0 = np.sqrt(1.0 - x0**2 - y0**2)
+    freqfactor = 2j * np.pi * freq[None, :] / LIGHTSPEED
+    return np.exp(
+        freqfactor
+        * (signu * uvw[:, 0:1] * x0 * signx + signv * uvw[:, 1:2] * y0 * signy - uvw[:, 2:] * (n0 - 1))
+    )
+
+
+def imager(
+    xds_path,
+    output_store,
+    nband: int = 1,
+    field_of_view: float | None = None,
+    super_resolution_factor: float = 2.0,
+    nx: int | None = None,
+    ny: int | None = None,
+    cell_size: float | None = None,
+    psf_oversize: float = 2.0,
+    robustness: float | None = None,
+    super_uniform_pix: int = 0,
+    counts_level: float = 10.0,
+    epsilon: float = 1e-7,
+    do_wgridding: bool = True,
+    double_precision: bool = True,
+    fits_out: bool = True,
+):
+    """Grid a Stokes vis store into a .dt image tree. Returns the TreeStore."""
+    xds = TreeStore(xds_path)
+    attrs = xds.attrs
+    freqs = np.asarray(attrs["freq"], dtype=float)
+    dtype = np.float64 if double_precision else np.float32
+
+    # geometry from the data (reference set_image_size path)
+    max_blength = 0.0
+    for key in xds.groups():
+        uvw = xds.group(key).read("UVW", mmap=True)
+        max_blength = max(max_blength, float(np.abs(uvw[:, :2]).max()) * np.sqrt(2))
+    geo = set_image_size(
+        max_blength,
+        freqs.max(),
+        field_of_view or 1.0,
+        super_resolution_factor,
+        cell_size=cell_size,
+        nx=nx,
+        ny=ny,
+        psf_oversize=psf_oversize,
+    )
+    nx_im, ny_im, nx_psf, ny_psf = geo.nx, geo.ny, geo.nx_psf, geo.ny_psf
+    cell_rad = geo.cell_rad
+    log.info("image %dx%d, psf %dx%d, cell %.3e rad", nx_im, ny_im, nx_psf, ny_psf, cell_rad)
+
+    bands = band_mapping(freqs, nband)
+    parts = xds.groups()
+
+    out = TreeStore(output_store, mode="w")
+
+    # ── pass 1: counts reduction over all partitions per band ────────
+    counts_per_band = [np.zeros((1, nx_psf, ny_psf)) for _ in range(nband)]
+    if robustness is not None:
+        for key in parts:
+            g = xds.group(key)
+            uvw = np.asarray(g.read("UVW"))
+            f = np.asarray(g.read("FREQ"))
+            wgt = np.asarray(g.read("WEIGHT"))
+            mask = np.asarray(g.read("MASK"))
+            for b, chans in enumerate(bands):
+                if chans.size == 0:
+                    continue
+                counts_per_band[b] += np.asarray(
+                    compute_counts(
+                        uvw,
+                        f[chans],
+                        mask[:, chans],
+                        wgt[None, :, chans],
+                        nx_psf,
+                        ny_psf,
+                        cell_rad,
+                        cell_rad,
+                    )
+                )
+        counts_per_band = [
+            np.asarray(box_sum_counts(filter_extreme_counts(c, level=counts_level), super_uniform_pix))
+            for c in counts_per_band
+        ]
+
+    # ── pass 2: per-band gridding ────────────────────────────────────
+    freq_out = []
+    dirty_mfs = np.zeros((nx_im, ny_im))
+    psf_mfs = np.zeros((nx_psf, ny_psf))
+    wsum_tot = 0.0
+    for b, chans in enumerate(bands):
+        node = out.group(band_key(b))
+        dirty_b = np.zeros((nx_im, ny_im))
+        psf_b = np.zeros((nx_psf, ny_psf))
+        wsum_b = 0.0
+        fb = freqs[chans] if chans.size else np.array([freqs.mean()])
+        freq_out.append(float(fb.mean()))
+        for ip, key in enumerate(parts):
+            if chans.size == 0:
+                continue
+            g = xds.group(key)
+            uvw = np.asarray(g.read("UVW"))
+            f = np.asarray(g.read("FREQ"))[chans]
+            vis = np.asarray(g.read("VIS"))[:, chans]
+            wgt = np.asarray(g.read("WEIGHT"))[:, chans]
+            mask = np.asarray(g.read("MASK"))[:, chans]
+            l0 = g.attrs.get("l0", 0.0)
+            m0 = g.attrs.get("m0", 0.0)
+
+            if robustness is not None:
+                wgt = np.asarray(
+                    counts_to_weights(
+                        counts_per_band[b],
+                        uvw,
+                        f,
+                        wgt[None],
+                        mask,
+                        nx_psf,
+                        ny_psf,
+                        cell_rad,
+                        cell_rad,
+                        robustness,
+                    )
+                )[0]
+
+            kw = dict(
+                cellx=cell_rad,
+                celly=cell_rad,
+                l0=l0,
+                m0=m0,
+                epsilon=epsilon,
+                do_wgridding=do_wgridding,
+                divide_by_n=False,
+                dtype=dtype,
+            )
+            plan_im = plan_wgridder(uvw, f, nx=nx_im, ny=ny_im, **kw)
+            plan_psf = plan_wgridder(uvw, f, nx=nx_psf, ny=ny_psf, **kw)
+            dirty_p = np.asarray(vis2dirty(plan_im, jnp.asarray(vis), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+            pv = _psf_vis(uvw, f, l0, m0)
+            psf_p = np.asarray(vis2dirty(plan_psf, jnp.asarray(pv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+            wsum_p = float(wgt[mask.astype(bool)].sum())
+
+            pg = node.group(part_key(ip))
+            pg.set_attrs(l0=l0, m0=m0, wsum=wsum_p, key=key)
+            pg.write("VIS", vis)
+            pg.write("WEIGHT", wgt)
+            pg.write("MASK", mask)
+            pg.write("UVW", uvw)
+            pg.write("FREQ", f)
+            pg.write("PSF", psf_p)
+            pg.write("PSFHAT", np.fft.rfft2(np.fft.ifftshift(psf_p)))
+
+            dirty_b += dirty_p
+            psf_b += psf_p
+            wsum_b += wsum_p
+
+        node.write("DIRTY", dirty_b)
+        node.write("PSF", psf_b)
+        node.write("PSFHAT", np.fft.rfft2(np.fft.ifftshift(psf_b)))
+        node.write("WSUM", np.asarray([wsum_b]))
+        node.set_attrs(freq_out=freq_out[b], wsum=wsum_b, niters=0, time_out=0.0)
+        dirty_mfs += dirty_b
+        psf_mfs += psf_b
+        wsum_tot += wsum_b
+        log.info("band %d: wsum=%.3e, dirty peak=%.3e", b, wsum_b, dirty_b.max() / max(wsum_b, 1e-300))
+
+    # clean-beam fit on the MFS PSF (reference core/imager.py:780-783)
+    psfpars = fitcleanbeam((psf_mfs / max(wsum_tot, 1e-300))[None])[0]
+    out.set_attrs(
+        nband=nband,
+        ntime=1,
+        nx=nx_im,
+        ny=ny_im,
+        nx_psf=nx_psf,
+        ny_psf=ny_psf,
+        cell_rad=cell_rad,
+        ra=attrs.get("ra", 0.0),
+        dec=attrs.get("dec", 0.0),
+        freq_out=freq_out,
+        wsum=wsum_tot,
+        psfpars=list(psfpars),
+        product=attrs.get("product", "I"),
+    )
+
+    if fits_out:
+        cell_deg = np.rad2deg(cell_rad)
+        radec = (attrs.get("ra", 0.0), attrs.get("dec", 0.0))
+        hdr = set_wcs(cell_deg, cell_deg, nx_im, ny_im, radec, np.asarray(freq_out), gausspar=psfpars)
+        base = str(out.path)[:-3] if str(out.path).endswith(".dt") else str(out.path)
+        save_fits(dirty_mfs / max(wsum_tot, 1e-300), f"{base}_dirty_mfs.fits", hdr)
+        hdr_psf = set_wcs(cell_deg, cell_deg, nx_psf, ny_psf, radec, np.asarray(freq_out))
+        save_fits(psf_mfs / max(wsum_tot, 1e-300), f"{base}_psf_mfs.fits", hdr_psf)
+
+    return out
+
+
+def residual_from_parts(band_node: TreeStore, model_b: np.ndarray, epsilon: float = 1e-7, do_wgridding: bool = True, double_precision: bool = True):
+    """Exact once-per-major-cycle gradient for one band:
+    DIRTY - sum_p R_p^T W_p R_p model (reference residual_from_partitions,
+    gridder.py:926-1016). Returns the raw (un-normalised) residual image."""
+    from ..ops.gridder import dirty2vis
+
+    dtype = np.float64 if double_precision else np.float32
+    dirty = np.asarray(band_node.read("DIRTY"))
+    resid = dirty.copy()
+    nx, ny = dirty.shape
+    for pk in band_node.groups():
+        pg = band_node.group(pk)
+        uvw = np.asarray(pg.read("UVW"))
+        f = np.asarray(pg.read("FREQ"))
+        wgt = np.asarray(pg.read("WEIGHT"))
+        mask = np.asarray(pg.read("MASK"))
+        plan = plan_wgridder(
+            uvw,
+            f,
+            nx=nx,
+            ny=ny,
+            cellx=band_node.attrs.get("cell_rad", 0.0) or _cell_from_root(band_node),
+            celly=band_node.attrs.get("cell_rad", 0.0) or _cell_from_root(band_node),
+            l0=pg.attrs.get("l0", 0.0),
+            m0=pg.attrs.get("m0", 0.0),
+            epsilon=epsilon,
+            do_wgridding=do_wgridding,
+            divide_by_n=False,
+            dtype=dtype,
+        )
+        mvis = dirty2vis(plan, jnp.asarray(model_b))
+        resid -= np.asarray(vis2dirty(plan, mvis, wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+    return resid
+
+
+def _cell_from_root(band_node: TreeStore) -> float:
+    root = TreeStore(band_node.path.parent)
+    return float(root.attrs["cell_rad"])

@@ -1,0 +1,139 @@
+"""Synthetic measurement simulator.
+
+The reference reads casacore measurement sets (MSv2 via dask-ms, MSv4 via
+xarray-ms) — neither exists in this image, so the framework defines its own
+on-disk visibility container (a TreeStore, schema below) and this simulator
+produces it. The reference's own tests do the same thing semantically:
+predict known point/Gaussian sources into the DATA column with the
+degridder (tests/test_sara.py:49-101).
+
+Raw container schema (the MS analogue):
+    <name>.ms.tree/
+      .attrs.json: ra, dec, freq, feed_type, ncorr
+      scan0000/ ... per-partition groups with
+        UVW (nrow, 3), TIME (nrow,), VIS (ncorr, nrow, nchan) complex,
+        WEIGHT (ncorr, nrow, nchan), FLAG (nrow, nchan) uint8
+        [JONES_P/JONES_Q (ncorr, nrow, nchan) complex when corrupted]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import LIGHTSPEED
+from ..ops.dft import dirty2vis_dft
+from ..utils.stokes import stokes_to_corr
+from ..utils.store import TreeStore
+
+
+def antenna_layout(nant: int, scale: float = 3e3, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    antennas = scale * rng.normal(size=(nant, 3))
+    antennas[:, 2] *= 0.05
+    return antennas
+
+
+def snapshot_uvw(antennas: np.ndarray, hour_angle: float = 0.0, dec: float = -0.5) -> np.ndarray:
+    """Project ENU-ish antenna positions to uvw for one hour angle."""
+    import itertools
+
+    a1, a2 = np.asarray(list(itertools.combinations(range(len(antennas)), 2))).T
+    bl = antennas[a1] - antennas[a2]
+    ch, sh = np.cos(hour_angle), np.sin(hour_angle)
+    cd, sd = np.cos(dec), np.sin(dec)
+    rot = np.array(
+        [
+            [sh, ch, 0.0],
+            [-sd * ch, sd * sh, cd],
+            [cd * ch, -cd * sh, sd],
+        ]
+    )
+    return bl @ rot.T
+
+
+def simulate_vis_store(
+    path,
+    nant: int = 16,
+    ntime: int = 3,
+    nchan: int = 8,
+    nx: int = 128,
+    sources=((0.5, 0.5, 1.0, -0.7), (0.33, 0.66, 0.5, -0.4)),
+    cell_factor: float = 2.0,
+    freq0: float = 0.9e9,
+    freq1: float = 1.1e9,
+    noise: float = 0.0,
+    ncorr: int = 2,
+    feed_type: str = "linear",
+    corrupt_gains: bool = False,
+    seed: int = 42,
+):
+    """Create a raw visibility container with known point sources.
+
+    Sources are (xfrac, yfrac, flux, spectral_index) image-fraction tuples.
+    Returns (store, truth) with truth = dict(model cube, cell_rad, freqs).
+    """
+    rng = np.random.default_rng(seed)
+    antennas = antenna_layout(nant, seed=seed)
+    freqs = np.linspace(freq0, freq1, nchan)
+    ref_freq = freqs[0]
+
+    uvw_t = [snapshot_uvw(antennas, ha) for ha in np.linspace(-0.2, 0.2, ntime)]
+    max_blength = max(np.abs(u).max() for u in uvw_t)
+    cell_n = 1.0 / (2 * max_blength * freqs.max() / LIGHTSPEED)
+    cell_rad = cell_n / cell_factor
+
+    model = np.zeros((nchan, nx, nx))
+    for xf, yf, flux, alpha in sources:
+        p, q = int(xf * nx), int(yf * nx)
+        model[:, p, q] += flux * (freqs / ref_freq) ** alpha
+
+    store = TreeStore(path, mode="w")
+    store.set_attrs(
+        ra=0.0,
+        dec=-0.5,
+        freq=freqs.tolist(),
+        feed_type=feed_type,
+        ncorr=ncorr,
+        cell_rad=cell_rad,
+        nx=nx,
+        ny=nx,
+    )
+
+    for t, uvw in enumerate(uvw_t):
+        nrow = uvw.shape[0]
+        stokes_vis = np.zeros((4, nrow, nchan), dtype=np.complex128)
+        for c in range(nchan):
+            stokes_vis[0, :, c : c + 1] = np.asarray(
+                dirty2vis_dft(
+                    uvw,
+                    freqs[c : c + 1],
+                    model[c],
+                    nx=nx,
+                    ny=nx,
+                    cellx=cell_rad,
+                    celly=cell_rad,
+                    divide_by_n=False,
+                )
+            )
+        vis = np.asarray(stokes_to_corr(stokes_vis, feed_type=feed_type, ncorr=ncorr))
+        wgt = np.ones((ncorr, nrow, nchan))
+        if noise > 0:
+            vis = vis + noise * (rng.standard_normal(vis.shape) + 1j * rng.standard_normal(vis.shape))
+            wgt = wgt / noise**2
+
+        g = store.group(f"scan{t:04d}")
+        g.set_attrs(time=float(t * 60.0), l0=0.0, m0=0.0)
+        g.write("UVW", uvw)
+        g.write("TIME", np.full(nrow, t * 60.0))
+        g.write("FLAG", np.zeros((nrow, nchan), dtype=np.uint8))
+        if corrupt_gains:
+            gp = 1.0 + 0.1 * (rng.standard_normal((ncorr, nrow, nchan)) + 1j * rng.standard_normal((ncorr, nrow, nchan)))
+            gq = 1.0 + 0.1 * (rng.standard_normal((ncorr, nrow, nchan)) + 1j * rng.standard_normal((ncorr, nrow, nchan)))
+            vis = gp * np.conj(gq) * vis
+            g.write("JONES_P", gp)
+            g.write("JONES_Q", gq)
+        g.write("VIS", vis)
+        g.write("WEIGHT", wgt)
+
+    truth = dict(model=model, cell_rad=cell_rad, freqs=freqs, nx=nx)
+    return store, truth

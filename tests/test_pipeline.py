@@ -1,0 +1,213 @@
+"""End-to-end pipeline tests through the drivers and CLI, mirroring the
+reference's init->grid->sara / kclean CLI tests (tests/test_sara.py:22-226,
+tests/test_kclean.py:26): simulate known sources, run the full pipeline
+in-process, assert recovery."""
+
+import numpy as np
+import pytest
+
+from pfb_imaging_tpu.core.simulate import simulate_vis_store
+from pfb_imaging_tpu.core.init import init
+from pfb_imaging_tpu.core.imager import imager
+from pfb_imaging_tpu.utils.store import TreeStore
+
+
+@pytest.fixture(scope="module")
+def sim_ms(tmp_path_factory):
+    path = tmp_path_factory.mktemp("sim") / "test.ms.tree"
+    store, truth = simulate_vis_store(
+        str(path), nant=12, ntime=2, nchan=4, nx=64, sources=((0.5, 0.5, 1.0, -0.7),)
+    )
+    return str(path), truth
+
+
+@pytest.fixture(scope="module")
+def gridded(sim_ms, tmp_path_factory):
+    ms_path, truth = sim_ms
+    base = tmp_path_factory.mktemp("prod")
+    xds = str(base / "test_I.xds")
+    dt = str(base / "test_I.dt")
+    init(ms_path, xds, product="I")
+    # the simulator phase-centres at l0=m0=0 and uses its own cell; image at
+    # the same geometry so the source lands on a pixel centre
+    imager(
+        xds,
+        dt,
+        nband=2,
+        nx=truth["nx"],
+        cell_size=np.rad2deg(truth["cell_rad"]) * 3600,
+        robustness=None,
+        epsilon=1e-9,
+        do_wgridding=True,
+        fits_out=True,
+    )
+    return dt, truth
+
+
+def test_imager_dirty_peak(gridded):
+    """The dirty image of a centred unit point source peaks at the source at
+    ~flux (natural weighting, wsum-normalised)."""
+    dt, truth = gridded
+    tree = TreeStore(dt)
+    assert tree.attrs["nband"] == 2
+    nx = truth["nx"]
+    wsum = 0.0
+    dirty = None
+    for key in tree.groups():
+        node = tree.group(key)
+        d = np.asarray(node.read("DIRTY"))
+        dirty = d if dirty is None else dirty + d
+        wsum += float(np.asarray(node.read("WSUM"))[0])
+    dirty = dirty / wsum
+    p = q = nx // 2
+    assert np.unravel_index(np.abs(dirty).argmax(), dirty.shape) == (p, q)
+    # MFS flux of the source: mean over channels of the spectrum
+    expected = truth["model"][:, p, q].mean()
+    assert dirty[p, q] == pytest.approx(expected, rel=0.1)
+
+
+def test_imager_fits_outputs(gridded):
+    dt, truth = gridded
+    base = dt[:-3]
+    from pfb_imaging_tpu.utils.fits import load_fits
+
+    data, hdr = load_fits(base + "_dirty_mfs.fits")
+    assert data.shape[-2:] == (truth["nx"], truth["nx"])
+    assert hdr["CTYPE1"] == "RA---SIN"
+
+
+def test_deconv_recovers_flux(gridded):
+    dt, truth = gridded
+    from pfb_imaging_tpu.core.deconv import deconv
+
+    model, residual = deconv(
+        dt,
+        preset="sara",
+        niter=5,
+        eta=1e-4,
+        cg_maxit=50,
+        pd_maxit=200,
+        pd_tol=1e-4,
+        cg_tol=1e-4,
+        l1_reweight_from=-1,
+        fit_mds=True,
+        epsilon=1e-9,
+    )
+    nx = truth["nx"]
+    p = q = nx // 2
+    mfs = model.sum(axis=0)
+    # with the deliberately sparse test uv coverage the abs(PSFHAT) Hessian
+    # over-estimates (design D4 discussion in tests/test_deconv.py) and the
+    # model smears over a few pixels; assert localisation + box flux
+    pk = np.unravel_index(mfs.argmax(), mfs.shape)
+    assert abs(pk[0] - p) <= 1 and abs(pk[1] - q) <= 1
+    box = mfs[p - 3 : p + 4, q - 3 : q + 4].sum()
+    true_flux = truth["model"][:, p, q].reshape(2, 2).mean(axis=1).sum()
+    assert box == pytest.approx(true_flux, rel=0.3)
+    # residual went down substantially
+    assert np.abs(residual).max() < 0.15 * np.abs(TreeStore(dt).group("band0000_time0000").read("DIRTY")).max()
+    # checkpoint attrs written
+    tree = TreeStore(dt)
+    node = tree.group(tree.groups()[0])
+    assert node.attrs["niters"] == 5
+    assert tree.attrs["hess_norm"] > 0
+    # .mds written alongside
+    assert (tree.path.parent / tree.path.name.replace(".dt", ".mds")).is_dir()
+
+
+def test_deconv_resume(gridded):
+    """Re-running warm-starts from the checkpoint (niters continues)."""
+    dt, truth = gridded
+    from pfb_imaging_tpu.core.deconv import deconv
+
+    tree = TreeStore(dt)
+    n0 = tree.group(tree.groups()[0]).attrs["niters"]
+    deconv(dt, preset="sara", niter=1, eta=1e-4, cg_maxit=20, pd_maxit=100, l1_reweight_from=-1, epsilon=1e-9)
+    n1 = TreeStore(dt).group(tree.groups()[0]).attrs["niters"]
+    assert n1 == n0 + 1
+
+
+def test_kclean_and_restore(sim_ms, tmp_path_factory):
+    ms_path, truth = sim_ms
+    base = tmp_path_factory.mktemp("kclean")
+    xds = str(base / "k_I.xds")
+    dt = str(base / "k_I.dt")
+    init(ms_path, xds, product="I")
+    imager(xds, dt, nband=2, nx=truth["nx"], cell_size=np.rad2deg(truth["cell_rad"]) * 3600, epsilon=1e-9, fits_out=False)
+
+    from pfb_imaging_tpu.core.kclean import kclean
+    from pfb_imaging_tpu.core.restore import restore
+
+    model, residual = kclean(dt, niter=3, minor="clark", gamma=0.1, peak_factor=0.05, epsilon=1e-9)
+    nx = truth["nx"]
+    p = q = nx // 2
+    mfs = model.sum(axis=0)
+    # ~2 px/beam: CLEAN legitimately splits flux between adjacent pixels
+    pk = np.unravel_index(mfs.argmax(), mfs.shape)
+    assert abs(pk[0] - p) <= 1 and abs(pk[1] - q) <= 1
+    true_flux = truth["model"][:, p, q].reshape(2, 2).mean(axis=1).sum()
+    assert mfs[p - 3 : p + 4, q - 3 : q + 4].sum() == pytest.approx(true_flux, rel=0.35)
+
+    written = restore(dt, outputs="MI")
+    assert len(written) == 2
+    from pfb_imaging_tpu.utils.fits import load_fits
+
+    img, hdr = load_fits(written[1])
+    assert "BMAJ" in hdr
+
+
+def test_model2comps_degrid_roundtrip(gridded, tmp_path):
+    """model2comps -> degrid writes MODEL_DATA consistent with the model
+    (reference test_model2comps round trip + degrid path)."""
+    dt, truth = gridded
+    from pfb_imaging_tpu.core.model2comps import model2comps
+    from pfb_imaging_tpu.core.degrid import degrid
+    from pfb_imaging_tpu.ops.dft import dirty2vis_dft
+
+    mds = model2comps(dt, mds_path=str(tmp_path / "m.mds"))
+
+    # build a small vis container to predict into
+    ms2 = str(tmp_path / "pred.ms.tree")
+    store, truth2 = simulate_vis_store(ms2, nant=8, ntime=1, nchan=2, nx=truth["nx"])
+    cell = TreeStore(dt).attrs["cell_rad"]
+    degrid(str(tmp_path / "m.mds"), ms2, cell_rad=cell, column="MODEL_DATA")
+
+    g = TreeStore(ms2).group("scan0000")
+    mvis = g.read("MODEL_DATA")
+    assert mvis.shape[0] == g.read("UVW").shape[0]
+    assert np.abs(mvis).max() > 0
+
+    # oracle: direct DFT of the rendered model at one frequency
+    from pfb_imaging_tpu.utils.modelspec import eval_coeffs_to_slice, load_mds
+
+    coeffs, ix, iy, mattrs = load_mds(TreeStore(str(tmp_path / "m.mds")))
+    freqs = np.asarray(TreeStore(ms2).attrs["freq"])
+    img = eval_coeffs_to_slice(0.0, freqs[0], coeffs, ix, iy, mattrs)
+    uvw = np.asarray(g.read("UVW"))
+    oracle = np.asarray(
+        dirty2vis_dft(uvw, freqs[:1], img, nx=truth["nx"], ny=truth["nx"], cellx=cell, celly=cell, divide_by_n=False)
+    )
+    np.testing.assert_allclose(np.asarray(mvis[:, :1]), oracle, atol=1e-6 * np.abs(oracle).max())
+
+
+def test_hci_cube(sim_ms, tmp_path):
+    ms_path, truth = sim_ms
+    xds = str(tmp_path / "h_I.xds")
+    init(ms_path, xds, product="I")
+    from pfb_imaging_tpu.core.hci import hci
+
+    out = hci(xds, str(tmp_path / "h.cube"), nx=64, freq_chunks=2, epsilon=1e-7)
+    cube = out.read("CUBE")
+    assert cube.shape == (2, 2, 64, 64)
+    assert np.isfinite(cube).all()
+    assert np.abs(cube).max() > 0
+
+
+def test_cli_help_and_simulate(tmp_path, capsys):
+    from pfb_imaging_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--help"])
+    capsys.readouterr()
+    main(["simulate", str(tmp_path / "c.ms.tree"), "--nant", "8", "--ntime", "1", "--nchan", "2", "--nx", "32"])
+    assert (tmp_path / "c.ms.tree" / "scan0000" / "VIS.npy").exists()
