@@ -67,13 +67,37 @@ def _kernel_ft(xi: np.ndarray, support: int, beta: float, delta: float = 1.0, nq
 
     khat(xi) = int_{-W*delta/2}^{W*delta/2} phi(2t/(W*delta)) e^{-2 pi i xi t} dt
              = (W*delta/2) * int_{-1}^{1} phi(x) cos(pi*W*delta*xi*x) dx
+
+    Evaluated chunked (the (npts, nquad) work matrix for a full image's nm1
+    would be GBs); for > 2^21 points a dense-grid + linear-interp shortcut
+    is used — khat is a 64-term cosine series whose total phase across the
+    xi range is a few radians, so an 8193-node grid is accurate to ~1e-7
+    relative, well below the f32 path's epsilon floor.
     """
     q, wq = np.polynomial.legendre.leggauss(nquad)
     phi = np.exp(beta * (np.sqrt(1.0 - q * q) - 1.0))
+    wphi = wq * phi
     half = support * delta / 2.0
-    # (npts, nquad)
-    args = np.pi * support * delta * np.multiply.outer(xi, q)
-    return half * np.cos(args) @ (wq * phi)
+    xi = np.asarray(xi)
+    shape = xi.shape
+    flat = xi.ravel()
+
+    def direct(pts):
+        out = np.empty(pts.shape[0])
+        chunk = 1 << 16
+        for i in range(0, pts.shape[0], chunk):
+            args = np.pi * support * delta * np.multiply.outer(pts[i : i + chunk], q)
+            out[i : i + chunk] = np.cos(args) @ wphi
+        return half * out
+
+    if flat.size > (1 << 21):
+        lo, hi = float(flat.min()), float(flat.max())
+        if hi == lo:
+            return np.full(shape, direct(np.array([lo]))[0])
+        grid = np.linspace(lo, hi, 8193)
+        vals = direct(grid)
+        return np.interp(flat, grid, vals).reshape(shape)
+    return direct(flat).reshape(shape)
 
 
 # ── Plan ──────────────────────────────────────────────────────────────
