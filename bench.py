@@ -35,6 +35,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def fetch(thunk, tries: int = 4):
+    """Dispatch + transfer with retries — the tunnelled TPU backend throws
+    transient UNIMPLEMENTED errors on device->host transfers."""
+    for attempt in range(tries):
+        try:
+            return np.asarray(thunk())
+        except Exception as e:
+            log(f"transfer attempt {attempt + 1} failed ({type(e).__name__}); retrying")
+            time.sleep(2.0 * (attempt + 1))
+    return np.asarray(thunk())
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -78,11 +90,11 @@ def main():
         return acc.reshape(1)
 
     t0 = time.time()
-    np.asarray(grid_loop(plan, vr, vi, 1))
+    fetch(lambda: grid_loop(plan, vr, vi, 1))
     log(f"grid_loop compile+first: {time.time() - t0:.1f}s")
-    np.asarray(grid_loop(plan, vr, vi, NREP))  # compile nrep variant
+    fetch(lambda: grid_loop(plan, vr, vi, NREP))  # compile nrep variant
     t0 = time.time()
-    np.asarray(grid_loop(plan, vr, vi, NREP))
+    fetch(lambda: grid_loop(plan, vr, vi, NREP))
     dt_grid = (time.time() - t0) / NREP
     vis_per_sec = nrow * nchan / dt_grid
     log(f"vis2dirty: {dt_grid * 1e3:.2f} ms/call -> {vis_per_sec / 1e6:.1f} Mvis/s")
@@ -105,10 +117,10 @@ def main():
             acc, _ = jax.lax.fori_loop(0, nrep, body, (jnp.float32(0), x))
             return acc.reshape(1)
 
-        np.asarray(hess_loop(hess, x, 1))
-        np.asarray(hess_loop(hess, x, NREP))
+        fetch(lambda: hess_loop(hess, x, 1))
+        fetch(lambda: hess_loop(hess, x, NREP))
         t0 = time.time()
-        np.asarray(hess_loop(hess, x, NREP))
+        fetch(lambda: hess_loop(hess, x, NREP))
         dt_hess = (time.time() - t0) / NREP
         log(f"hessian matvec {nxh}: {dt_hess * 1e3:.1f} ms")
 
@@ -119,9 +131,9 @@ def main():
             u = pcg(jax.tree_util.Partial(hess_cube_dot, hess), b, tol=0.0, maxit=niter, minit=niter)
             return jnp.sum(u * u).reshape(1)
 
-        np.asarray(pcg_run(hess, x))
+        fetch(lambda: pcg_run(hess, x))
         t0 = time.time()
-        np.asarray(pcg_run(hess, x * 1.0000001))
+        fetch(lambda: pcg_run(hess, x * 1.0000001))
         dt_pcg = time.time() - t0
         log(f"pcg {niter} iters at {nxh}: {dt_pcg:.2f}s -> {niter / dt_pcg:.1f} iters/s")
     except Exception as e:  # secondary metrics must not sink the headline

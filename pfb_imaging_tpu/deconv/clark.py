@@ -111,3 +111,95 @@ def clark(
 
     status = 1 if (k >= maxit or stall >= 5) else 0
     return model, residual, status
+
+
+@partial(jax.jit, static_argnames=("gamma", "th", "maxit"))
+def fssubminor(residual, psf, active, model, wsums, gamma: float = 0.05, th: float = 0.0, maxit: int = 1000):
+    """Full-Stokes subminor (reference fssubminor, clark.py:147-225): peak
+    search on the total-polarisation power sum_corr (sum_band r)^2; all
+    correlations cleaned jointly at the peak.
+
+    residual/model: (nband, ncorr, nx, ny); psf: (nband, ncorr, nxp, nyp);
+    wsums: (nband, ncorr)."""
+    nband, ncorr, nx, ny = residual.shape
+    _, _, nx_psf, ny_psf = psf.shape
+    nx0, ny0 = nx_psf // 2, ny_psf // 2
+    fsel = wsums > 0
+    safe_wsums = jnp.where(fsel, wsums, 1.0)
+
+    def peak(res):
+        mfs = jnp.sum(res, axis=0)  # (ncorr, nx, ny)
+        rs = jnp.sum(mfs**2, axis=0) * active
+        pq = jnp.argmax(rs)
+        p, q = pq // ny, pq % ny
+        return p, q, jnp.sqrt(rs[p, q])
+
+    p0, q0, amax0 = peak(residual)
+
+    def cond(carry):
+        model, res, amax, p, q, k = carry
+        return (amax > th) & (k < maxit)
+
+    def body(carry):
+        model, res, amax, p, q, k = carry
+        xhat = res[:, :, p, q]  # (nband, ncorr)
+        model = model.at[:, :, p, q].add(gamma * jnp.where(fsel, xhat / safe_wsums, 0.0))
+        psf_win = jax.lax.dynamic_slice(psf, (0, 0, nx0 - p, ny0 - q), (nband, ncorr, nx, ny))
+        sub = gamma * (xhat / safe_wsums)[:, :, None, None] * psf_win
+        res = res - sub * active[None, None]
+        pn, qn, amax_n = peak(res)
+        return (model, res, amax_n, pn, qn, k + 1)
+
+    init = (model, residual, amax0, p0, q0, jnp.int32(0))
+    model, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return model
+
+
+def fsclark(
+    dirty,
+    psf,
+    psfhat,
+    wsums,
+    mask=None,
+    threshold: float = 0.0,
+    gamma: float = 0.05,
+    pf: float = 0.05,
+    maxit: int = 50,
+    subpf: float = 0.5,
+    submaxit: int = 1000,
+):
+    """Full-Stokes Clark CLEAN (reference fsclark, clark.py:225-295).
+
+    dirty: (nband, ncorr, nx, ny) wsum-normalised (wsums.sum(axis=0) == 1
+    per corr). Returns (model, residual, status)."""
+    nband, ncorr, nx, ny = dirty.shape
+    _, _, nx_psf, ny_psf = psf.shape
+    if mask is None:
+        mask = jnp.ones((nx, ny), dtype=dirty.dtype)
+    model = jnp.zeros_like(dirty)
+    residual = dirty
+
+    def peak(res):
+        mfs = jnp.sum(res, axis=0)
+        rs = jnp.sum(mfs**2, axis=0) * mask
+        pq = jnp.argmax(rs)
+        return float(jnp.sqrt(rs.reshape(-1)[pq]))
+
+    rmax = peak(residual)
+    tol = max(pf * rmax, threshold)
+    k = 0
+    stall = 0
+    while rmax > tol and k < maxit and stall < 5:
+        subth = subpf * rmax
+        mfs = jnp.sum(residual, axis=0)
+        active = (jnp.sum(mfs**2, axis=0) * mask) > subth**2
+        model = fssubminor(residual, psf, active, model, wsums, gamma=gamma, th=subth, maxit=submaxit)
+        residual = dirty - psf_convolve(model, psfhat, nx_psf, ny_psf)
+        rmax_p = rmax
+        rmax = peak(residual)
+        k += 1
+        if abs(rmax_p - rmax) / abs(rmax_p) < 1e-3:
+            stall += 1
+
+    status = 1 if (k >= maxit or stall >= 5) else 0
+    return model, residual, status

@@ -141,6 +141,41 @@ def filter_extreme_counts(counts, level: float = 10.0):
     return jnp.where(nz, jnp.maximum(counts, lowval), counts)
 
 
+def reduce_counts(counts: dict, grouping: str) -> dict:
+    """Combine per-(band, time) counts grids per a grouping strategy
+    (reference weighting.py:471-505, design D16).
+
+    grouping: "per-band-time" (identity), "mfs"/"per-time" (sum over bands
+    within each time), "per-band" (sum over times within each band).
+    """
+    valid = ("per-band-time", "mfs", "per-band", "per-time")
+    if grouping == "per-band-time":
+        return dict(counts)
+    if grouping in ("mfs", "per-time", "per-band"):
+        fix_band = grouping == "per-band"
+        sums = {}
+        for (b, t), grid in counts.items():
+            key = b if fix_band else t
+            sums[key] = grid.copy() if key not in sums else sums[key] + grid
+        return {(b, t): sums[b if fix_band else t] for (b, t) in counts}
+    raise ValueError(f"Unknown weight grouping {grouping!r}; expected one of {valid}")
+
+
+def l2_reweight(residual_vis, wgt, mask, dof: float, wgt_prev=1.0):
+    """Student-t (L2) visibility reweighting (reference gridder.py:509-532).
+
+    Scales natural weights by (dof + 2) / (dof + |r|^2 w_prev / ovar) where
+    ovar is the per-corr mean residual power over unflagged samples.
+    """
+    ressq = (residual_vis * wgt_prev * jnp.conj(residual_vis)).real
+    msk = mask > 0
+    ssq = jnp.sum(jnp.where(msk[None] if ressq.ndim == 3 else msk, ressq, 0.0), axis=(-2, -1))
+    ovar = ssq / jnp.maximum(jnp.sum(msk), 1)
+    shape = (-1,) + (1,) * (ressq.ndim - 1)
+    denom = dof + ressq / ovar.reshape(shape)
+    return jnp.where(ovar.reshape(shape) > 0, wgt * (dof + 2) / denom, wgt)
+
+
 @partial(jax.jit, static_argnames=("npix_super",))
 def box_sum_counts(counts, npix_super: int):
     """Box-sum counts over a (2*npix_super+1)^2 window (super-uniform

@@ -1,0 +1,134 @@
+"""Tests for Mask, Gauss/kron, astrometry, reduce_counts, L2 reweighting and
+full-Stokes Clark."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfb_imaging_tpu.ops.gauss import Gauss, expsq, kron_matvec
+from pfb_imaging_tpu.ops.mask import Mask
+from pfb_imaging_tpu.ops.weighting import l2_reweight, reduce_counts
+from pfb_imaging_tpu.utils.astrometry import radec_to_lmn, rephase, rotation_matrix_rodrigues, synthesize_uvw
+
+
+def test_mask_roundtrip_and_adjoint():
+    rng = np.random.default_rng(0)
+    m = rng.uniform(size=(8, 8)) > 0.5
+    op = Mask(m)
+    x = jnp.asarray(rng.standard_normal((8, 8)))
+    beta = op.dot(x)
+    assert beta.shape == (op.nnz,)
+    back = op.hdot(beta)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x) * m)
+    # adjointness
+    y = jnp.asarray(rng.standard_normal(op.nnz))
+    assert float(jnp.vdot(op.dot(x), y)) == pytest.approx(float(jnp.vdot(x, op.hdot(y))), rel=1e-12)
+
+
+def test_kron_matvec_matches_dense():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((3, 3))
+    b = rng.standard_normal((4, 4))
+    c = rng.standard_normal((2, 2))
+    x = rng.standard_normal((3, 4, 2))
+    out = np.asarray(kron_matvec((a, b, c), jnp.asarray(x)))
+    dense = np.kron(np.kron(a, b), c) @ x.reshape(-1)
+    np.testing.assert_allclose(out.reshape(-1), dense, atol=1e-10)
+
+
+def test_gauss_psd_and_sample():
+    g = Gauss(np.linspace(1, 2, 3), np.arange(4.0), np.arange(5.0), lf=0.5, lx=2.0, ly=2.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 4, 5)))
+    kx = np.asarray(g.dot(x))
+    assert float(jnp.vdot(x, kx)) > 0  # PSD
+    s = np.asarray(g.sqrtdot(x))
+    assert s.shape == x.shape
+
+
+def test_synthesize_uvw_norm_invariance():
+    """|uvw| equals the baseline length for equatorial sources over time."""
+    antpos = np.random.default_rng(3).standard_normal((5, 3)) * 1e3
+    times = np.linspace(0, 3600, 10)
+    a1 = np.zeros(10, dtype=int)
+    a2 = np.ones(10, dtype=int)
+    uvw = synthesize_uvw(antpos, times, a1, a2, ra=0.3, dec=-0.6)
+    bl = np.linalg.norm(antpos[0] - antpos[1])
+    np.testing.assert_allclose(np.linalg.norm(uvw, axis=1), bl, rtol=1e-12)
+
+
+def test_rephase_identity_and_inverse():
+    rng = np.random.default_rng(4)
+    nrow, nchan = 20, 3
+    vis = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    uvw = rng.uniform(-100, 100, (nrow, 3))
+    freq = np.linspace(1e9, 1.2e9, nchan)
+    radec = (0.5, -0.4)
+    same = rephase(vis, uvw, freq, radec, radec)
+    np.testing.assert_allclose(same, vis, atol=1e-12)
+    new = (0.501, -0.401)
+    fwd = rephase(vis, uvw, freq, new, radec, phasesign=-1)
+    back = rephase(fwd, uvw, freq, new, radec, phasesign=+1)
+    np.testing.assert_allclose(back, vis, atol=1e-10)
+
+
+def test_rodrigues_rotation():
+    s0 = np.array([0.0, 0.0, 1.0])
+    s1 = np.array([0.1, -0.2, np.sqrt(1 - 0.05)])
+    r = rotation_matrix_rodrigues(s0, s1)
+    np.testing.assert_allclose(r @ s0, s1, atol=1e-12)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-12)
+
+
+def test_reduce_counts_groupings():
+    c = {(b, t): np.full((1, 2, 2), 10 * b + t, dtype=float) for b in range(2) for t in range(2)}
+    out = reduce_counts(c, "per-band-time")
+    assert out[(1, 0)][0, 0, 0] == 10.0
+    out = reduce_counts(c, "per-band")  # sum over time per band
+    assert out[(1, 0)][0, 0, 0] == 21.0
+    assert out[(1, 1)][0, 0, 0] == 21.0
+    out = reduce_counts(c, "mfs")  # sum over bands per time
+    assert out[(0, 1)][0, 0, 0] == 12.0
+    with pytest.raises(ValueError):
+        reduce_counts(c, "bogus")
+
+
+def test_l2_reweight_downweights_outliers():
+    rng = np.random.default_rng(5)
+    nrow, nchan = 100, 4
+    res = (rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))) / np.sqrt(2)
+    res[0, 0] = 50.0  # outlier
+    wgt = np.ones((nrow, nchan))
+    mask = np.ones((nrow, nchan))
+    w2 = np.asarray(l2_reweight(jnp.asarray(res), jnp.asarray(wgt), jnp.asarray(mask), dof=5.0))
+    assert w2[0, 0] < 0.05  # outlier crushed
+    # typical samples keep ~unit weight
+    assert np.median(w2) == pytest.approx(1.0, rel=0.5)
+    assert w2[0, 0] < 0.05 * np.median(w2)
+
+
+def test_fsclark_recovers_polarised_source():
+    from pfb_imaging_tpu.deconv.clark import fsclark
+    from pfb_imaging_tpu.ops.psf import psf_to_psfhat
+
+    nband, ncorr, nx = 2, 2, 32
+    psf = np.zeros((nband, ncorr, 2 * nx, 2 * nx))
+    psf[:, :, nx, nx] = 0.5  # per-band wsum 0.5 -> sums to 1
+    rng = np.random.default_rng(6)
+    psf[:, :, nx - 2 : nx + 3, nx - 2 : nx + 3] += 0.05 * rng.uniform(size=(nband, ncorr, 5, 5))
+    psf[:, :, nx, nx] = 0.5
+    psfhat = np.asarray(psf_to_psfhat(psf))
+    wsums = np.full((nband, ncorr), 0.5)
+
+    model_true = np.zeros((nband, ncorr, nx, nx))
+    model_true[:, 0, 16, 16] = 1.0  # I
+    model_true[:, 1, 16, 16] = 0.3  # Q-ish
+    from pfb_imaging_tpu.ops.psf import psf_convolve
+
+    dirty = np.asarray(psf_convolve(jnp.asarray(model_true), jnp.asarray(psfhat), 2 * nx, 2 * nx))
+    model, residual, status = fsclark(
+        jnp.asarray(dirty), jnp.asarray(psf), jnp.asarray(psfhat), jnp.asarray(wsums), pf=0.01, gamma=0.2, maxit=30
+    )
+    model = np.asarray(model)
+    assert model[:, 0, 16, 16].sum() == pytest.approx(2.0, rel=0.15)
+    assert model[:, 1, 16, 16].sum() == pytest.approx(0.6, rel=0.25)
