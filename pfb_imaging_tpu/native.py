@@ -1,0 +1,95 @@
+"""ctypes bindings for the native planning kernels (native/plan_kernels.cpp).
+
+Compiled on demand with g++ -O3 -fopenmp and cached next to the source;
+every entry point has a numpy fallback so the package works without a
+toolchain (``PFB_TPU_NO_NATIVE=1`` forces the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("PFB_TPU_NO_NATIVE"):
+        return None
+    src = Path(__file__).resolve().parent.parent / "native" / "plan_kernels.cpp"
+    if not src.exists():
+        return None
+    so = src.with_suffix(".so")
+    try:
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", str(src), "-o", str(so)],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so))
+    except Exception:
+        return None
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.uvw_to_pix.argtypes = [f64p, f64p, ctypes.c_int64, ctypes.c_int64] + [ctypes.c_double] * 8 + [f64p] * 5
+    lib.wplane_buckets.argtypes = [i64p] + [ctypes.c_int64] * 4 + [i64p] * 3
+    lib.apply_perm.argtypes = [f64p, i64p, ctypes.c_int64, f64p]
+    _LIB = lib
+    return lib
+
+
+def have_native() -> bool:
+    return _build_and_load() is not None
+
+
+def uvw_to_pix(uvw, freq, su, sv, sw, scale_u, scale_v, inv_c, l_shift, m_shift):
+    """Fused coordinate conversion; returns (u_pix, v_pix, w_lam, phase_shift)."""
+    lib = _build_and_load()
+    nrow, nchan = uvw.shape[0], freq.shape[0]
+    n = nrow * nchan
+    if lib is None:
+        u_l = su * np.multiply.outer(uvw[:, 0], freq * inv_c)
+        v_l = sv * np.multiply.outer(uvw[:, 1], freq * inv_c)
+        w_l = sw * np.multiply.outer(uvw[:, 2], freq * inv_c)
+        shift = np.exp(-2j * np.pi * (u_l * l_shift + v_l * m_shift))
+        return (u_l * scale_u).ravel(), (v_l * scale_v).ravel(), w_l.ravel(), shift.ravel()
+    uvw = np.ascontiguousarray(uvw, dtype=np.float64)
+    freq = np.ascontiguousarray(freq, dtype=np.float64)
+    u_pix = np.empty(n)
+    v_pix = np.empty(n)
+    w_lam = np.empty(n)
+    sre = np.empty(n)
+    sim = np.empty(n)
+    lib.uvw_to_pix(uvw, freq, nrow, nchan, su, sv, sw, scale_u, scale_v, inv_c, l_shift, m_shift, u_pix, v_pix, w_lam, sre, sim)
+    return u_pix, v_pix, w_lam, sre + 1j * sim
+
+
+def wplane_buckets(i0, nw: int, w_supp: int):
+    """Stable counting sort by plane + bucket ranges; returns
+    (perm, starts, counts)."""
+    lib = _build_and_load()
+    i0 = np.ascontiguousarray(i0, dtype=np.int64)
+    n = i0.size
+    n_i0 = int(i0.max()) + 1 if n else 1
+    if lib is None:
+        perm = np.argsort(i0, kind="stable")
+        i0s = i0[perm]
+        starts = np.searchsorted(i0s, np.arange(nw) - w_supp + 1, side="left")
+        ends = np.searchsorted(i0s, np.arange(nw), side="right")
+        return perm, starts, ends - starts
+    perm = np.empty(n, dtype=np.int64)
+    starts = np.empty(nw, dtype=np.int64)
+    counts = np.empty(nw, dtype=np.int64)
+    lib.wplane_buckets(i0, n, n_i0, nw, w_supp, perm, starts, counts)
+    return perm, starts, counts

@@ -247,12 +247,11 @@ def plan_wgridder(
         i0 = i0 - shift
         w0 = wmin + shift * dw  # w of plane 0
         nw = int(i0.max()) + w_supp
-        # contiguous plane buckets over the i0-sorted stream
-        sort_perm = np.argsort(i0, kind="stable")
-        i0s = i0[sort_perm]
-        starts = np.searchsorted(i0s, np.arange(nw) - w_supp + 1, side="left")
-        ends = np.searchsorted(i0s, np.arange(nw), side="right")
-        counts = ends - starts
+        # contiguous plane buckets over the i0-sorted stream (native O(n)
+        # counting sort when the C++ kernels are available)
+        from ..native import wplane_buckets
+
+        sort_perm, starts, counts = wplane_buckets(i0, nw, w_supp)
         capacity = int(counts.max())
         cw = dw / _kernel_ft(nm1, w_supp, beta, delta=dw)
 

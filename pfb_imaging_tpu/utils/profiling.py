@@ -1,0 +1,82 @@
+"""Tracing and per-phase timing (SURVEY.md §5.1).
+
+The reference embeds phase timers in every hot loop (pcg_numba, primal_dual
+etc.) and ships bottom-up profiling scripts with static SIMD/ASM inspection
+of numba output. The TPU equivalents here:
+
+  * ``PhaseTimer`` — accumulating wall-clock phase timers with the
+    reference's fraction-of-total report format;
+  * ``trace`` — context manager around ``jax.profiler`` emitting a
+    perfetto-compatible trace directory;
+  * ``lowering_text``/``cost_analysis`` — replaces ASM inspection: dump the
+    StableHLO/compiled text and XLA's FLOP/byte estimates for a jitted
+    function, used to sanity-check that kernels lower the way we think.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+class PhaseTimer:
+    """Accumulating named phase timers (reference opt/pcg.py:139-185 style).
+
+    Usage::
+        t = PhaseTimer()
+        with t("grid"): ...
+        with t("fft"): ...
+        t.report(log.info)
+    """
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self._t0 = time.time()
+
+    @contextlib.contextmanager
+    def __call__(self, name: str):
+        t = time.time()
+        try:
+            yield
+        finally:
+            self.totals[name] = self.totals.get(name, 0.0) + time.time() - t
+
+    def report(self, emit=print) -> None:
+        ttot = time.time() - self._t0
+        emit(f"timing breakdown (fraction of {ttot:.3f}s):")
+        acc = 0.0
+        for name, v in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            emit(f"  {name:<14} {v / ttot:.3f}")
+            acc += v
+        emit(f"  {'accounted':<14} {acc / ttot:.3f}")
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace around a block (view with perfetto/tensorboard)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def lowering_text(fn, *args, **kwargs) -> str:
+    """StableHLO for a jittable function at the given argument shapes."""
+    import jax
+
+    return jax.jit(fn).lower(*args, **kwargs).as_text()
+
+
+def cost_analysis(fn, *args, **kwargs) -> dict:
+    """XLA cost analysis (flops, bytes accessed) for a jitted function —
+    the roofline numbers the build plan calls for per kernel."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    return dict(ca) if ca else {}
