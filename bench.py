@@ -2,17 +2,18 @@
 
 Headline: gridded visibilities/sec/chip through the wgridder adjoint
 (vis2dirty), the reference's hot loop (ducc0 vis2dirty inside
-grid_partition, SURVEY.md §3.1). Secondary numbers (Hessian matvec, PCG
-iters/sec) go to stderr; the driver contract is the single JSON line on
-stdout.
+grid_partition, SURVEY.md §3.1). Secondary numbers (degrid throughput,
+Hessian matvec, PCG iters/sec) go to stderr; the driver contract is the
+single JSON line on stdout.
 
 Methodology notes for this environment (axon-tunnelled TPU):
-  * every eager op is a remote compile, so each timed quantity is ONE jitted
-    program with an internal ``lax.fori_loop`` over ``nrep`` iterations,
-    chaining the input each iteration (no dispatch elision) and returning a
-    (1,)-shaped checksum whose host transfer forces completion;
-  * complex64 device->host transfers are unimplemented — only f32 scalars
-    cross the boundary.
+  * per-call blocking is unreliable and identical dispatches may be elided
+    remotely, so each measurement is a host loop over nrep calls with
+    *distinct* inputs whose outputs are summed into one array; a single
+    scalar fetch at the end forces the whole chain. The reported time is
+    total/nrep and is an upper bound per call (includes dispatch overhead).
+  * complex64 device->host transfers are unimplemented — only f32 crosses
+    the boundary.
 
 ``vs_baseline``: the reference publishes no vis/sec number (BASELINE.md —
 its wall-clock numbers are whole-pipeline on a fat CPU node), so the
@@ -50,12 +51,11 @@ def fetch(thunk, tries: int = 4):
 def main():
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from pfb_imaging_tpu.ops.gridder import plan_wgridder, vis2dirty
+    from pfb_imaging_tpu.ops.gridder import dirty2vis, plan_wgridder, vis2dirty
     from pfb_imaging_tpu.ops.hessian import HessianCube, hess_cube_dot
     from pfb_imaging_tpu.ops.psf import psf_to_psfhat
     from pfb_imaging_tpu.opt.pcg import pcg
@@ -63,11 +63,11 @@ def main():
     rng = np.random.default_rng(0)
 
     # ── headline: wgridder vis2dirty throughput ──────────────────────
-    nrow, nchan, nx = 200_000, 4, 2048
-    uvw = rng.uniform(-4000, 4000, (nrow, 3))
+    nrow, nchan, nx = 200_000, 4, 1024
+    uvw = rng.uniform(-2000, 2000, (nrow, 3))
     uvw[:, 2] *= 0.01
     freq = np.linspace(1e9, 1.1e9, nchan)
-    cell = 4.0e-6
+    cell = 8.0e-6
     t0 = time.time()
     plan = plan_wgridder(
         uvw, freq, nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-5,
@@ -77,27 +77,45 @@ def main():
 
     vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
     vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
-
-    @partial(jax.jit, static_argnames=("nrep",))
-    def grid_loop(plan, vr, vi, nrep):
-        def body(i, carry):
-            acc, vr, vi = carry
-            vis = jax.lax.complex(vr, vi)
-            d = vis2dirty(plan, vis)
-            return (acc + jnp.sum(d * d), vr * 1.0000001, vi * 0.9999999)
-
-        acc, _, _ = jax.lax.fori_loop(0, nrep, body, (jnp.float32(0), vr, vi))
-        return acc.reshape(1)
+    make_vis = jax.jit(lambda vr, vi, s: jax.lax.complex(vr * s, vi))
+    checksum = jax.jit(lambda a: jnp.sum(a * a).reshape(1))
 
     t0 = time.time()
-    fetch(lambda: grid_loop(plan, vr, vi, 1))
-    log(f"grid_loop compile+first: {time.time() - t0:.1f}s")
-    fetch(lambda: grid_loop(plan, vr, vi, NREP))  # compile nrep variant
+    fetch(lambda: checksum(vis2dirty(plan, make_vis(vr, vi, np.float32(1.0)))))
+    log(f"vis2dirty compile+first: {time.time() - t0:.1f}s")
+
+    def grid_chain():
+        acc = None
+        for i in range(NREP):
+            d = vis2dirty(plan, make_vis(vr, vi, np.float32(1.0 + 1e-6 * i)))
+            acc = d if acc is None else acc + d
+        return checksum(acc)
+
+    fetch(grid_chain)  # warm the acc-chain shapes
     t0 = time.time()
-    fetch(lambda: grid_loop(plan, vr, vi, NREP))
+    fetch(grid_chain)
     dt_grid = (time.time() - t0) / NREP
     vis_per_sec = nrow * nchan / dt_grid
     log(f"vis2dirty: {dt_grid * 1e3:.2f} ms/call -> {vis_per_sec / 1e6:.1f} Mvis/s")
+
+    # ── secondary: degrid throughput ─────────────────────────────────
+    try:
+        img = jnp.asarray(rng.standard_normal((nx, nx)).astype(np.float32))
+
+        def degrid_chain():
+            acc = None
+            for i in range(NREP):
+                v = dirty2vis(plan, img * np.float32(1.0 + 1e-6 * i))
+                acc = v if acc is None else acc + v
+            return checksum(jnp.abs(acc))
+
+        fetch(degrid_chain)
+        t0 = time.time()
+        fetch(degrid_chain)
+        dt_degrid = (time.time() - t0) / NREP
+        log(f"dirty2vis: {dt_degrid * 1e3:.2f} ms/call -> {nrow * nchan / dt_degrid / 1e6:.1f} Mvis/s")
+    except Exception as e:
+        log(f"degrid metric failed: {e!r}")
 
     # ── secondary: PSF-Hessian matvec + PCG iters/sec at 4k ──────────
     try:
@@ -106,21 +124,18 @@ def main():
         ph = jax.jit(lambda p: jnp.abs(psf_to_psfhat(p)))(jnp.asarray(psf))
         hess = HessianCube.build(ph, np.ones(1, np.float32), 1e-5, 2 * nxh, 2 * nxh)
         x = jnp.asarray(rng.standard_normal((1, nxh, nxh)).astype(np.float32))
+        hdot = jax.jit(hess_cube_dot)
 
-        @partial(jax.jit, static_argnames=("nrep",))
-        def hess_loop(hess, x, nrep):
-            def body(i, carry):
-                acc, x = carry
-                y = hess_cube_dot(hess, x)
-                return (acc + jnp.sum(y * y), x * 1.0000001)
+        def hess_chain():
+            acc = None
+            for i in range(NREP):
+                y = hdot(hess, x + np.float32(1e-6 * i))
+                acc = y if acc is None else acc + y
+            return checksum(acc)
 
-            acc, _ = jax.lax.fori_loop(0, nrep, body, (jnp.float32(0), x))
-            return acc.reshape(1)
-
-        fetch(lambda: hess_loop(hess, x, 1))
-        fetch(lambda: hess_loop(hess, x, NREP))
+        fetch(hess_chain)
         t0 = time.time()
-        fetch(lambda: hess_loop(hess, x, NREP))
+        fetch(hess_chain)
         dt_hess = (time.time() - t0) / NREP
         log(f"hessian matvec {nxh}: {dt_hess * 1e3:.1f} ms")
 
@@ -133,7 +148,7 @@ def main():
 
         fetch(lambda: pcg_run(hess, x))
         t0 = time.time()
-        fetch(lambda: pcg_run(hess, x * 1.0000001))
+        fetch(lambda: pcg_run(hess, x * np.float32(1.0000001)))
         dt_pcg = time.time() - t0
         log(f"pcg {niter} iters at {nxh}: {dt_pcg:.2f}s -> {niter / dt_pcg:.1f} iters/s")
     except Exception as e:  # secondary metrics must not sink the headline
