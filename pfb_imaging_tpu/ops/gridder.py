@@ -241,8 +241,9 @@ def plan_wgridder(
         wmin = float(w_lam.min())
         wmax = float(w_lam.max())
         # base plane index i0(v): kernel support covers planes i0 .. i0+Ww-1
+        # (parity-correct windowing, see _uv_stencil)
         p0f = (w_lam - wmin) / dw
-        i0 = np.floor(p0f).astype(np.int64) - w_supp // 2 + 1
+        i0 = np.floor(p0f - w_supp / 2.0).astype(np.int64) + 1
         shift = i0.min()
         i0 = i0 - shift
         w0 = wmin + shift * dw  # w of plane 0
@@ -333,8 +334,10 @@ def _uv_stencil(plan: WGridderPlan, up, vp):
     Returns (iu, iv, ku, kv): (cap, W) wrapped indices and weights.
     """
     w = plan.support
-    iu0 = jnp.floor(up).astype(jnp.int32) - w // 2 + 1
-    iv0 = jnp.floor(vp).astype(jnp.int32) - w // 2 + 1
+    # window = the w integers in (u - w/2, u + w/2): i0 = floor(u - w/2) + 1
+    # (the w//2 form silently drops one support point for odd w)
+    iu0 = jnp.floor(up - w / 2.0).astype(jnp.int32) + 1
+    iv0 = jnp.floor(vp - w / 2.0).astype(jnp.int32) + 1
     offs = jnp.arange(w, dtype=jnp.int32)
     iu = iu0[:, None] + offs[None, :]
     iv = iv0[:, None] + offs[None, :]

@@ -53,7 +53,7 @@ def test_imager_equals_dft_of_concatenated_stream(products):
         vis2dirty_dft(uvw, freq, vis, wgt=wgt, nx=48, ny=48, cellx=cell, celly=cell, divide_by_n=False)
     )
     err = np.abs(dirty - oracle).max() / np.abs(oracle).max()
-    assert err < 1e-6, f"imager vs DFT rel err {err}"  # kernel-rule accuracy floor ~2e-7
+    assert err < 1e-9, f"imager vs DFT rel err {err}"
 
 
 def test_partition_sum_linearity(products):
@@ -81,7 +81,7 @@ def test_partition_sum_linearity(products):
             )
         )
     err = np.abs(dirty - acc).max() / np.abs(acc).max()
-    assert err < 1e-6
+    assert err < 1e-9
 
 
 def test_psf_peak_equals_wsum(products):
@@ -91,4 +91,4 @@ def test_psf_peak_equals_wsum(products):
     psf = np.asarray(node.read("PSF"))
     wsum = float(np.asarray(node.read("WSUM"))[0])
     nx_psf = psf.shape[0]
-    assert psf[nx_psf // 2, nx_psf // 2] == pytest.approx(wsum, rel=1e-6)
+    assert psf[nx_psf // 2, nx_psf // 2] == pytest.approx(wsum, rel=1e-9)
