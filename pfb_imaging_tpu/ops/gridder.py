@@ -399,21 +399,24 @@ def dirty2vis(plan: WGridderPlan, image, mask=None):
             a = _pad_center(plan, ieff.astype(cdtype))
         grid = jnp.fft.fft2(jnp.fft.ifftshift(a))
         iu, iv, ku, kv = _uv_stencil(plan, up, vp)
-        # gather (cap, W, W)
-        g = grid[iu[:, :, None], iv[:, None, :]]
-        kw2 = (ku[:, :, None] * kv[:, None, :]).astype(cdtype)
-        vals = jnp.sum(g * kw2, axis=(1, 2))
-        vals = vals * _w_weight(plan, wl, p).astype(cdtype)
-        vals = jnp.where(valid, vals, 0.0)
+        # gather/accumulate on stacked real+imag f32: complex gathers and
+        # scatter-adds do not lower on all TPU runtimes and decompose to
+        # twice the real work anyway
+        grid_ri = jnp.stack([jnp.real(grid), jnp.imag(grid)])  # (2, nbx, nby)
+        g = grid_ri[:, iu[:, :, None], iv[:, None, :]]  # (2, cap, W, W)
+        kw2 = (ku[:, :, None] * kv[:, None, :]) * _w_weight(plan, wl, p)[:, None, None]
+        vals = jnp.sum(g * kw2[None], axis=(2, 3))  # (2, cap)
+        vals = jnp.where(valid[None], vals, 0.0)
         # accumulate into sorted-stream order (accumulator includes the
         # padding tail; invalid slots are redirected there and dropped later)
         idx = start + jnp.arange(plan.capacity)
-        vis_acc = vis_acc.at[idx].add(vals)
+        vis_acc = vis_acc.at[:, idx].add(vals)
         return vis_acc, None
 
     nvis = plan.sort_idx.shape[0]
     npad = plan.u_pix.shape[0]
-    vis_padded, _ = jax.lax.scan(body, jnp.zeros(npad, dtype=cdtype), jnp.arange(plan.nw))
+    vis_ri, _ = jax.lax.scan(body, jnp.zeros((2, npad), dtype=rdtype), jnp.arange(plan.nw))
+    vis_padded = jax.lax.complex(vis_ri[0], vis_ri[1])
     vis_sorted = vis_padded[:nvis] * plan.phase_shift
     # unsort back to (row, chan) order
     vis = jnp.zeros(nvis, dtype=cdtype).at[plan.sort_idx].set(vis_sorted)
@@ -444,10 +447,12 @@ def vis2dirty(plan: WGridderPlan, vis, wgt=None, mask=None):
         vals = vals * _w_weight(plan, wl, p).astype(cdtype)
         vals = jnp.where(valid, vals, 0.0)
         iu, iv, ku, kv = _uv_stencil(plan, up, vp)
-        kw2 = (ku[:, :, None] * kv[:, None, :]).astype(cdtype)
-        contrib = vals[:, None, None] * kw2  # (cap, W, W)
-        grid = jnp.zeros((plan.nbig_x, plan.nbig_y), dtype=cdtype)
-        grid = grid.at[iu[:, :, None], iv[:, None, :]].add(contrib)
+        kw2 = ku[:, :, None] * kv[:, None, :]
+        # scatter-add on stacked real+imag f32 (see dirty2vis note)
+        contrib = jnp.stack([jnp.real(vals), jnp.imag(vals)])[:, :, None, None] * kw2[None]
+        grid_ri = jnp.zeros((2, plan.nbig_x, plan.nbig_y), dtype=rdtype)
+        grid_ri = grid_ri.at[:, iu[:, :, None], iv[:, None, :]].add(contrib)
+        grid = jax.lax.complex(grid_ri[0], grid_ri[1])
         # adjoint of (ifftshift -> fft2) is (ifft2 * N -> fftshift)
         big = jnp.fft.fftshift(jnp.fft.ifft2(grid)) * (plan.nbig_x * plan.nbig_y)
         a = _crop_center(plan, big)
