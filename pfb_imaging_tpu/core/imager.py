@@ -245,10 +245,19 @@ def imager(
     return out
 
 
+_PLAN_CACHE: dict = {}
+
+
 def residual_from_parts(band_node: TreeStore, model_b: np.ndarray, epsilon: float = 1e-7, do_wgridding: bool = True, double_precision: bool = True):
     """Exact once-per-major-cycle gradient for one band:
     DIRTY - sum_p R_p^T W_p R_p model (reference residual_from_partitions,
-    gridder.py:926-1016). Returns the raw (un-normalised) residual image."""
+    gridder.py:926-1016). Returns the raw (un-normalised) residual image.
+
+    Plans and the partition weights are cached per partition path — the
+    major cycle calls this every iteration with identical geometry
+    (reference keeps partition data pinned in band workers for the same
+    reason, band_worker.py:61-106).
+    """
     from ..ops.gridder import dirty2vis
 
     dtype = np.float64 if double_precision else np.float32
@@ -257,26 +266,30 @@ def residual_from_parts(band_node: TreeStore, model_b: np.ndarray, epsilon: floa
     nx, ny = dirty.shape
     for pk in band_node.groups():
         pg = band_node.group(pk)
-        uvw = np.asarray(pg.read("UVW"))
-        f = np.asarray(pg.read("FREQ"))
-        wgt = np.asarray(pg.read("WEIGHT"))
-        mask = np.asarray(pg.read("MASK"))
-        plan = plan_wgridder(
-            uvw,
-            f,
-            nx=nx,
-            ny=ny,
-            cellx=band_node.attrs.get("cell_rad", 0.0) or _cell_from_root(band_node),
-            celly=band_node.attrs.get("cell_rad", 0.0) or _cell_from_root(band_node),
-            l0=pg.attrs.get("l0", 0.0),
-            m0=pg.attrs.get("m0", 0.0),
-            epsilon=epsilon,
-            do_wgridding=do_wgridding,
-            divide_by_n=False,
-            dtype=dtype,
-        )
+        key = (str(pg.path), nx, ny, epsilon, do_wgridding, double_precision)
+        cached = _PLAN_CACHE.get(key)
+        if cached is None:
+            plan = plan_wgridder(
+                np.asarray(pg.read("UVW")),
+                np.asarray(pg.read("FREQ")),
+                nx=nx,
+                ny=ny,
+                cellx=band_node.attrs.get("cell_rad", 0.0) or _cell_from_root(band_node),
+                celly=band_node.attrs.get("cell_rad", 0.0) or _cell_from_root(band_node),
+                l0=pg.attrs.get("l0", 0.0),
+                m0=pg.attrs.get("m0", 0.0),
+                epsilon=epsilon,
+                do_wgridding=do_wgridding,
+                divide_by_n=False,
+                dtype=dtype,
+            )
+            cached = (plan, jnp.asarray(np.asarray(pg.read("WEIGHT"))), jnp.asarray(np.asarray(pg.read("MASK"))))
+            if len(_PLAN_CACHE) > 256:
+                _PLAN_CACHE.clear()
+            _PLAN_CACHE[key] = cached
+        plan, wgt, mask = cached
         mvis = dirty2vis(plan, jnp.asarray(model_b))
-        resid -= np.asarray(vis2dirty(plan, mvis, wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+        resid -= np.asarray(vis2dirty(plan, mvis, wgt=wgt, mask=mask))
     return resid
 
 
