@@ -74,6 +74,8 @@ def imager(
     do_wgridding: bool = True,
     double_precision: bool = True,
     fits_out: bool = True,
+    model_mds: str | None = None,
+    l2_reweight_dof: float | None = None,
 ):
     """Grid a Stokes vis store into a .dt image tree. Returns the TreeStore."""
     xds = TreeStore(xds_path)
@@ -102,6 +104,18 @@ def imager(
 
     bands = band_mapping(freqs, nband)
     parts = xds.groups()
+
+    # optional transferred model (reference grid --transfer-model-from /
+    # image_data_products model degrid, gridder.py:455-532): rendered per
+    # (partition, band) for residual vis + L2 (Student-t) reweighting
+    model_eval = None
+    if model_mds is not None:
+        from ..utils.modelspec import eval_coeffs_to_slice, load_mds
+
+        coeffs, mix, miy, mattrs = load_mds(TreeStore(model_mds))
+
+        def model_eval(t, f):  # noqa: E731
+            return eval_coeffs_to_slice(t, f, coeffs, mix, miy, mattrs)
 
     out = TreeStore(output_store, mode="w")
 
@@ -186,6 +200,20 @@ def imager(
             )
             plan_im = plan_wgridder(uvw, f, nx=nx_im, ny=ny_im, **kw)
             plan_psf = plan_wgridder(uvw, f, nx=nx_psf, ny=ny_psf, **kw)
+
+            if model_eval is not None:
+                # residual visibilities + optional Student-t reweighting
+                from ..ops.gridder import dirty2vis
+                from ..ops.weighting import l2_reweight
+
+                img = model_eval(g.attrs.get("time", 0.0), float(f.mean()))
+                mvis = np.asarray(dirty2vis(plan_im, jnp.asarray(img)))
+                vis = vis - mvis
+                if l2_reweight_dof:
+                    wgt = np.asarray(
+                        l2_reweight(jnp.asarray(vis), jnp.asarray(wgt), jnp.asarray(mask), l2_reweight_dof)
+                    )
+
             dirty_p = np.asarray(vis2dirty(plan_im, jnp.asarray(vis), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
             pv = _psf_vis(uvw, f, l0, m0)
             psf_p = np.asarray(vis2dirty(plan_psf, jnp.asarray(pv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
