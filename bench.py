@@ -77,17 +77,20 @@ def main():
 
     vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
     vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
-    make_vis = jax.jit(lambda vr, vi, s: jax.lax.complex(vr * s, vi))
+    # scalars cross host->device as shape-(1,) arrays: 0-d transfers are
+    # unimplemented on this backend
+    make_vis = jax.jit(lambda vr, vi, s: jax.lax.complex(vr * s[0], vi))
+    scal = lambda v: jnp.asarray(np.full(1, v, np.float32))  # noqa: E731
     checksum = jax.jit(lambda a: jnp.sum(a * a).reshape(1))
 
     t0 = time.time()
-    fetch(lambda: checksum(vis2dirty(plan, make_vis(vr, vi, np.float32(1.0)))))
+    fetch(lambda: checksum(vis2dirty(plan, make_vis(vr, vi, scal(1.0)))))
     log(f"vis2dirty compile+first: {time.time() - t0:.1f}s")
 
     def grid_chain():
         acc = None
         for i in range(NREP):
-            d = vis2dirty(plan, make_vis(vr, vi, np.float32(1.0 + 1e-6 * i)))
+            d = vis2dirty(plan, make_vis(vr, vi, scal(1.0 + 1e-6 * i)))
             acc = d if acc is None else acc + d
         return checksum(acc)
 
@@ -105,7 +108,7 @@ def main():
         def degrid_chain():
             acc = None
             for i in range(NREP):
-                v = dirty2vis(plan, img * np.float32(1.0 + 1e-6 * i))
+                v = dirty2vis(plan, img * scal(1.0 + 1e-6 * i)[0])
                 acc = v if acc is None else acc + v
             return checksum(jnp.abs(acc))
 
@@ -129,7 +132,7 @@ def main():
         def hess_chain():
             acc = None
             for i in range(NREP):
-                y = hdot(hess, x + np.float32(1e-6 * i))
+                y = hdot(hess, x + scal(1e-6 * i)[0])
                 acc = y if acc is None else acc + y
             return checksum(acc)
 
@@ -148,7 +151,7 @@ def main():
 
         fetch(lambda: pcg_run(hess, x))
         t0 = time.time()
-        fetch(lambda: pcg_run(hess, x * np.float32(1.0000001)))
+        fetch(lambda: pcg_run(hess, x * scal(1.0000001)[0]))
         dt_pcg = time.time() - t0
         log(f"pcg {niter} iters at {nxh}: {dt_pcg:.2f}s -> {niter / dt_pcg:.1f} iters/s")
     except Exception as e:  # secondary metrics must not sink the headline

@@ -117,7 +117,9 @@ class PFBSolver:
             hess_dot = self.hess.dot_partial()
         else:
             hess_dot = jax.tree_util.Partial(self.hess.dot)
-        grad = jax.tree_util.Partial(_pfb_grad, hess_dot, xtilde, self._gamma)
+        from ..opt.primal_dual import dev_scalar
+
+        grad = jax.tree_util.Partial(_pfb_grad, hess_dot, xtilde, dev_scalar(self._gamma, xtilde.dtype))
         self.backward_alg.set_grad(grad)
         return self._update
 

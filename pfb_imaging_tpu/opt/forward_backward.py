@@ -123,12 +123,15 @@ class ForwardBackward:
         grad = self._grad
         if not isinstance(grad, jax.tree_util.Partial):
             grad = jax.tree_util.Partial(grad)
+        from .primal_dual import dev_scalar
+
+        dt = jnp.asarray(x).dtype
         while budget > 0:
             x, k, eps = forward_backward_loop(
                 x,
-                lam,
+                dev_scalar(lam, dt),
                 getattr(reg, "l1weight", None),
-                self.step,
+                dev_scalar(self.step, dt),
                 grad,
                 psi_dot=reg.psi.dot,
                 psi_hdot=reg.psi.hdot,

@@ -43,6 +43,15 @@ def _norm_diff(x, xp):
     return jnp.sqrt(num / den)
 
 
+def dev_scalar(v, dtype=None):
+    """Python scalar -> shape-(1,) device array. Scalar jit arguments would
+    transfer as 0-d arrays, which some TPU runtimes (axon) cannot do; (1,)
+    arrays broadcast identically in all our uses."""
+    import numpy as np
+
+    return jnp.asarray(np.full(1, v, dtype or np.float32))
+
+
 @partial(jax.jit, static_argnames=("psi_dot", "psi_hdot", "primal_prox", "dual_update", "tol", "maxit", "minit"))
 def primal_dual_loop(
     x,
@@ -163,13 +172,14 @@ class PrimalDual:
             grad = self._grad
             if not isinstance(grad, jax.tree_util.Partial):
                 grad = jax.tree_util.Partial(grad)
+            dt = jnp.asarray(x).dtype
             x, v, k, eps = primal_dual_loop(
                 x,
                 v,
-                lam,
+                dev_scalar(lam, dt),
                 getattr(reg, "l1weight", None),
-                self.sigma,
-                self.tau,
+                dev_scalar(self.sigma, dt),
+                dev_scalar(self.tau, dt),
                 grad,
                 psi_dot=reg.psi.dot,
                 psi_hdot=reg.psi.hdot,
