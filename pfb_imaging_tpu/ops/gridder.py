@@ -294,6 +294,11 @@ def plan_wgridder(
     w_pad = np.pad(np.asarray(plan["w_lam"]), (0, cap))
 
     cdtype = np.complex64 if dtype == np.float32 else np.complex128
+    # convert on the HOST before device transfer: an f64/i64 numpy array
+    # handed to jnp.asarray(dtype=...) lowers to a device-side convert, and
+    # TPUs (axon runtime especially) cannot ingest 64-bit host buffers
+    idx_t = np.int32 if dtype == np.float32 else np.int64
+    host = lambda a, t: np.ascontiguousarray(np.asarray(a), dtype=t)  # noqa: E731
     return WGridderPlan(
         nx=nx,
         ny=ny,
@@ -307,21 +312,21 @@ def plan_wgridder(
         divide_by_n=divide_by_n,
         nrow=nrow,
         nchan=nchan,
-        u_pix=jnp.asarray(u_pad, dtype=dtype),
-        v_pix=jnp.asarray(v_pad, dtype=dtype),
-        w_lam=jnp.asarray(w_pad, dtype=dtype),
-        sort_idx=jnp.asarray(plan["sort_idx"]),
-        plane_start=jnp.asarray(plan["plane_start"]),
-        plane_count=jnp.asarray(plan["plane_count"]),
+        u_pix=jnp.asarray(host(u_pad, dtype)),
+        v_pix=jnp.asarray(host(v_pad, dtype)),
+        w_lam=jnp.asarray(host(w_pad, dtype)),
+        sort_idx=jnp.asarray(host(plan["sort_idx"], idx_t)),
+        plane_start=jnp.asarray(host(plan["plane_start"], idx_t)),
+        plane_count=jnp.asarray(host(plan["plane_count"], idx_t)),
         w0=float(plan["w0"]),
         dw=float(plan["dw"]),
         nw=int(plan["nw"]),
         w_support=int(plan["w_support"]),
         capacity=int(plan["capacity"]),
-        phase_shift=jnp.asarray(phase_shift, dtype=cdtype),
-        corr_img=jnp.asarray(corr, dtype=dtype),
-        nm1=jnp.asarray(nm1, dtype=dtype),
-        cw_img=jnp.asarray(cw, dtype=dtype),
+        phase_shift=jnp.asarray(host(phase_shift, cdtype)),
+        corr_img=jnp.asarray(host(corr, dtype)),
+        nm1=jnp.asarray(host(nm1, dtype)),
+        cw_img=jnp.asarray(host(cw, dtype)),
     )
 
 
