@@ -52,6 +52,7 @@ def deconv(
     double_precision: bool = True,
     hess_norm: float | None = None,
     opts_extra: dict | None = None,
+    use_mesh: bool = False,
 ):
     """Run the major cycle in place on the tree. Returns (model, residual)."""
     import jax.numpy as jnp
@@ -113,6 +114,28 @@ def deconv(
     geometry = dict(nx=nx, ny=ny, nx_psf=nx_psf, ny_psf=ny_psf)
     solver = PRESETS[preset](abspsfhat, wsums, geometry, model, update, opts)
     dt.set_attrs(hess_norm=solver.hess_norm)
+
+    if use_mesh:
+        # shard the solver's cube state over the band mesh axis — the jitted
+        # CG/PD programs then run SPMD with band-sum collectives (replaces
+        # the reference's one-Ray-actor-per-band topology)
+        import jax
+
+        from ..parallel.mesh import band_sharding, make_mesh
+
+        ndev = len(jax.devices())
+        band_size = ndev
+        while nband % band_size:
+            band_size -= 1
+        mesh = make_mesh(band=band_size, row=1)
+        spec = band_sharding(mesh)
+        put = lambda a: jax.device_put(a, spec)  # noqa: E731
+        solver.hess = jax.tree_util.tree_map(
+            lambda a: put(a) if getattr(a, "ndim", 0) >= 1 and a.shape[0] == nband else a, solver.hess
+        )
+        solver._model = put(solver._model)
+        solver._update = put(solver._update)
+        log.info("band mesh: %d-way sharding over %d devices", band_size, ndev)
 
     best_rms = np.inf
     best_model = model.copy()

@@ -89,3 +89,27 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_deconv_with_mesh(tmp_path):
+    """The deconv driver under band sharding matches the unsharded run."""
+    import numpy as np
+
+    from pfb_imaging_tpu.core.simulate import simulate_vis_store
+    from pfb_imaging_tpu.core.init import init
+    from pfb_imaging_tpu.core.imager import imager
+    from pfb_imaging_tpu.core.deconv import deconv
+
+    ms = str(tmp_path / "m.ms.tree")
+    store, truth = simulate_vis_store(ms, nant=10, ntime=1, nchan=4, nx=48)
+    xds = str(tmp_path / "m.xds")
+    init(ms, xds)
+    kw = dict(nband=2, nx=48, cell_size=np.rad2deg(truth["cell_rad"]) * 3600, epsilon=1e-9, fits_out=False)
+    dt_a = str(tmp_path / "a.dt")
+    dt_b = str(tmp_path / "b.dt")
+    imager(xds, dt_a, **kw)
+    imager(xds, dt_b, **kw)
+    dkw = dict(preset="sara", niter=2, eta=1e-4, cg_maxit=20, pd_maxit=100, l1_reweight_from=-1, epsilon=1e-9, fit_mds=False)
+    model_a, _ = deconv(dt_a, use_mesh=False, **dkw)
+    model_b, _ = deconv(dt_b, use_mesh=True, **dkw)
+    np.testing.assert_allclose(model_b, model_a, atol=1e-10)
