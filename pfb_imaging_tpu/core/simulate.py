@@ -65,11 +65,14 @@ def simulate_vis_store(
     ncorr: int = 2,
     feed_type: str = "linear",
     corrupt_gains: bool = False,
+    pol_fractions=(0.0, 0.0, 0.0),
     seed: int = 42,
 ):
     """Create a raw visibility container with known point sources.
 
     Sources are (xfrac, yfrac, flux, spectral_index) image-fraction tuples.
+    ``pol_fractions`` = (Q/I, U/I, V/I) gives every source linear/circular
+    polarisation (reference tests/test_polproducts.py analogue).
     Returns (store, truth) with truth = dict(model cube, cell_rad, freqs).
     """
     rng = np.random.default_rng(seed)
@@ -103,7 +106,7 @@ def simulate_vis_store(
         nrow = uvw.shape[0]
         stokes_vis = np.zeros((4, nrow, nchan), dtype=np.complex128)
         for c in range(nchan):
-            stokes_vis[0, :, c : c + 1] = np.asarray(
+            vis_i = np.asarray(
                 dirty2vis_dft(
                     uvw,
                     freqs[c : c + 1],
@@ -115,6 +118,10 @@ def simulate_vis_store(
                     divide_by_n=False,
                 )
             )
+            stokes_vis[0, :, c : c + 1] = vis_i
+            for s, frac in enumerate(pol_fractions, start=1):
+                if frac:
+                    stokes_vis[s, :, c : c + 1] = frac * vis_i
         vis = np.asarray(stokes_to_corr(stokes_vis, feed_type=feed_type, ncorr=ncorr))
         wgt = np.ones((ncorr, nrow, nchan))
         if noise > 0:
