@@ -74,6 +74,7 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("--l1-reweight-from", type=int, default=5)
         p.add_argument("--epsilon", type=float, default=1e-7)
         p.add_argument("--no-wgridding", action="store_true")
+        p.add_argument("--use-mesh", action="store_true", help="shard cubes over the band mesh axis")
         _add_common(p)
 
     p = sub.add_parser("kclean", help="CLEAN deconvolution")
@@ -161,7 +162,7 @@ def main(argv=None):
             eta=args.eta, bases=args.bases, nlevels=args.nlevels, positivity=args.positivity,
             cg_maxit=args.cg_maxit, pd_maxit=args.pd_maxit,
             l1_reweight_from=args.l1_reweight_from, epsilon=args.epsilon,
-            do_wgridding=not args.no_wgridding,
+            do_wgridding=not args.no_wgridding, use_mesh=args.use_mesh,
         )
     elif cmd == "kclean":
         from .core.kclean import kclean

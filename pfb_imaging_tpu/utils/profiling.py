@@ -70,6 +70,33 @@ def lowering_text(fn, *args, **kwargs) -> str:
     return jax.jit(fn).lower(*args, **kwargs).as_text()
 
 
+def device_memory_stats() -> list[dict]:
+    """Per-device memory telemetry (the TPU analogue of the reference's
+    per-worker rss/peak reporting, SURVEY §5.5 — band_worker.py:184-198).
+
+    Returns one dict per local device with bytes_in_use / peak_bytes_in_use
+    when the backend exposes them.
+    """
+    import jax
+
+    out = []
+    for d in jax.local_devices():
+        stats = {}
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            pass
+        out.append(
+            {
+                "device": str(d),
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+        )
+    return out
+
+
 def cost_analysis(fn, *args, **kwargs) -> dict:
     """XLA cost analysis (flops, bytes accessed) for a jitted function —
     the roofline numbers the build plan calls for per kernel."""
