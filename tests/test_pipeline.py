@@ -257,3 +257,53 @@ def test_imager_model_transfer_and_l2_reweight(gridded, tmp_path):
     # the transferred model is the per-band channel average of the true
     # spectral model, so the residual is small but not machine zero
     assert np.abs(resid).max() < 0.05
+
+
+def test_fluxtractor_mops_residual_flux(gridded, tmp_path_factory):
+    """The vis-space CG mop recovers flux remaining in the residual inside
+    the mask (reference core/fluxtractor.py + pcg_dds)."""
+    import shutil
+
+    dt_src, truth = gridded
+    base = tmp_path_factory.mktemp("mop")
+    dt = str(base / "mop.dt")
+    shutil.copytree(dt_src, dt)
+    from pfb_imaging_tpu.core.fluxtractor import fluxtractor
+
+    nx = truth["nx"]
+    mask = np.zeros((nx, nx))
+    mask[nx // 2 - 4 : nx // 2 + 5, nx // 2 - 4 : nx // 2 + 5] = 1.0
+    model, residual = fluxtractor(dt, mask=mask, eta=1e-3, cg_maxit=30, epsilon=1e-9)
+    tree = TreeStore(dt)
+    node = tree.group("band0000_time0000")
+    assert node.has("MODEL_MOPPED") and node.has("RESIDUAL_MOPPED")
+    # residual power inside the mask decreases
+    wsum = sum(float(np.asarray(tree.group(k).read("WSUM"))[0]) for k in tree.groups())
+    r0 = sum(
+        np.asarray(tree.group(k).read("RESIDUAL" if tree.group(k).has("RESIDUAL") else "DIRTY"))
+        for k in tree.groups()
+    ) / wsum
+    r1 = residual.sum(axis=0) / wsum
+    assert np.abs(r1 * mask).max() < np.abs(r0 * mask).max()
+
+
+def test_hci_transient_injection(sim_ms, tmp_path):
+    ms_path, truth = sim_ms
+    xds = str(tmp_path / "ht_I.xds")
+    init(ms_path, xds, product="I")
+    from pfb_imaging_tpu.core.hci import hci
+
+    out = hci(
+        xds,
+        str(tmp_path / "ht.cube"),
+        nx=64,
+        freq_chunks=1,
+        epsilon=1e-7,
+        inject_transient=dict(kind="step", t0=30.0, width=10.0, amplitude=5.0, xfrac=0.25, yfrac=0.25),
+        rms_flag_level=1e9,  # effectively off
+    )
+    cube = np.asarray(out.read("CUBE"))
+    # scan times are 0 and 60 s; the step turns on at t0=30 -> only frame 1
+    p = q = 16
+    assert abs(cube[0, 0, p, q]) < 0.5
+    assert cube[1, 0, p, q] == pytest.approx(5.0, rel=0.15)
