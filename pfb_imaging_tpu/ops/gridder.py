@@ -470,3 +470,127 @@ def vis2dirty(plan: WGridderPlan, vis, wgt=None, mask=None):
     init = jnp.zeros((plan.nx, plan.ny), dtype=cdtype)
     acc, _ = jax.lax.scan(body, init, jnp.arange(plan.nw))
     return jnp.real(acc) * plan.corr_img * plan.cw_img
+
+
+# ── host-loop execution mode ─────────────────────────────────────────
+#
+# The scan+dynamic_slice formulation above is the efficient one (each plane
+# touches only its bucket), but some TPU runtimes (the axon tunnel) cannot
+# execute dynamic slicing reliably. These variants process the FULL stream
+# at every plane inside a per-plane jitted stage driven by a host loop:
+# the w-kernel is exactly zero outside a visibility's support planes, so
+# the result is identical. Cost is nvis * W^2 * nw instead of
+# nvis * W^3 — acceptable for the small plane counts typical of
+# narrow-field imaging, and every op involved (dense stencil math, f32
+# scatter/gather, c2c FFT) is proven on the target runtime.
+
+
+@jax.jit
+def _vis2dirty_plane(plan: WGridderPlan, wv_sorted_ri, p_arr):
+    """One plane's image contribution from the full sorted stream.
+
+    wv_sorted_ri: (2, nvis) real/imag weighted vis (sorted-stream order,
+    phase shift applied); p_arr: (1,) int32 plane index.
+    """
+    rdtype = plan.u_pix.dtype
+    cdtype = plan.phase_shift.dtype
+    nvis = plan.sort_idx.shape[0]
+    p = p_arr[0]
+    up = plan.u_pix[:nvis]
+    vp = plan.v_pix[:nvis]
+    wl = plan.w_lam[:nvis]
+    ww = _w_weight(plan, wl, p)
+    vals_re = wv_sorted_ri[0] * ww
+    vals_im = wv_sorted_ri[1] * ww
+    iu, iv, ku, kv = _uv_stencil(plan, up, vp)
+    kw2 = ku[:, :, None] * kv[:, None, :]
+    contrib = jnp.stack([vals_re, vals_im])[:, :, None, None] * kw2[None]
+    grid_ri = jnp.zeros((2, plan.nbig_x, plan.nbig_y), dtype=rdtype)
+    grid_ri = grid_ri.at[:, iu[:, :, None], iv[:, None, :]].add(contrib)
+    grid = jax.lax.complex(grid_ri[0], grid_ri[1])
+    big = jnp.fft.fftshift(jnp.fft.ifft2(grid)) * (plan.nbig_x * plan.nbig_y)
+    a = _crop_center(plan, big)
+    if plan.do_wgridding:
+        wp = plan.w0 + p.astype(rdtype) * plan.dw
+        screen = jnp.exp((-2j * jnp.pi * wp) * plan.nm1.astype(cdtype))
+        a = a * screen
+    return jnp.stack([jnp.real(a), jnp.imag(a)])
+
+
+@jax.jit
+def _vis2dirty_prepare(plan: WGridderPlan, vis, wgt, mask):
+    cdtype = plan.phase_shift.dtype
+    rdtype = plan.u_pix.dtype
+    wv = vis.astype(cdtype)
+    if wgt is not None:
+        wv = wv * wgt.astype(rdtype)
+    if mask is not None:
+        wv = wv * mask.astype(rdtype)
+    wv_sorted = wv.reshape(-1)[plan.sort_idx] * jnp.conj(plan.phase_shift)
+    return jnp.stack([jnp.real(wv_sorted), jnp.imag(wv_sorted)])
+
+
+@jax.jit
+def _vis2dirty_finish(plan: WGridderPlan, acc_ri):
+    return acc_ri[0] * plan.corr_img * plan.cw_img
+
+
+def vis2dirty_hostloop(plan: WGridderPlan, vis, wgt=None, mask=None):
+    """vis2dirty via the per-plane host loop (runtime-portable mode)."""
+    import numpy as np
+
+    wv_ri = _vis2dirty_prepare(plan, vis, wgt, mask)
+    acc = None
+    for p in range(plan.nw):
+        c = _vis2dirty_plane(plan, wv_ri, jnp.asarray(np.asarray([p], np.int32)))
+        acc = c if acc is None else acc + c
+    return _vis2dirty_finish(plan, acc)
+
+
+@jax.jit
+def _dirty2vis_plane(plan: WGridderPlan, ieff, p_arr):
+    """One plane's contribution to every visibility (full stream)."""
+    rdtype = plan.u_pix.dtype
+    cdtype = plan.phase_shift.dtype
+    nvis = plan.sort_idx.shape[0]
+    p = p_arr[0]
+    if plan.do_wgridding:
+        wp = plan.w0 + p.astype(rdtype) * plan.dw
+        screen = jnp.exp((2j * jnp.pi * wp) * plan.nm1.astype(cdtype))
+        a = _pad_center(plan, ieff.astype(cdtype) * screen)
+    else:
+        a = _pad_center(plan, ieff.astype(cdtype))
+    grid = jnp.fft.fft2(jnp.fft.ifftshift(a))
+    up = plan.u_pix[:nvis]
+    vp = plan.v_pix[:nvis]
+    wl = plan.w_lam[:nvis]
+    iu, iv, ku, kv = _uv_stencil(plan, up, vp)
+    grid_ri = jnp.stack([jnp.real(grid), jnp.imag(grid)])
+    g = grid_ri[:, iu[:, :, None], iv[:, None, :]]
+    kw2 = (ku[:, :, None] * kv[:, None, :]) * _w_weight(plan, wl, p)[:, None, None]
+    return jnp.sum(g * kw2[None], axis=(2, 3))  # (2, nvis)
+
+
+@jax.jit
+def _dirty2vis_finish(plan: WGridderPlan, vis_ri, mask):
+    cdtype = plan.phase_shift.dtype
+    rdtype = plan.u_pix.dtype
+    nvis = plan.sort_idx.shape[0]
+    vis_sorted = jax.lax.complex(vis_ri[0], vis_ri[1]) * plan.phase_shift
+    vis = jnp.zeros(nvis, dtype=cdtype).at[plan.sort_idx].set(vis_sorted)
+    vis = vis.reshape(plan.nrow, plan.nchan)
+    if mask is not None:
+        vis = vis * mask.astype(rdtype)
+    return vis
+
+
+def dirty2vis_hostloop(plan: WGridderPlan, image, mask=None):
+    """dirty2vis via the per-plane host loop (runtime-portable mode)."""
+    import numpy as np
+
+    ieff = image.astype(plan.u_pix.dtype) * plan.corr_img * plan.cw_img
+    acc = None
+    for p in range(plan.nw):
+        c = _dirty2vis_plane(plan, ieff, jnp.asarray(np.asarray([p], np.int32)))
+        acc = c if acc is None else acc + c
+    return _dirty2vis_finish(plan, acc, mask)

@@ -107,3 +107,30 @@ def test_psf_peak_is_wsum():
     )
     psf = np.asarray(vis2dirty(plan, vis, wgt=wgt))
     assert abs(psf[nx // 2, ny // 2] - wgt.sum()) / wgt.sum() < 1e-7
+
+
+@pmp("do_wgridding", [False, True])
+def test_hostloop_matches_scan_path(do_wgridding):
+    """The runtime-portable per-plane host loop is numerically identical to
+    the bucketed scan path."""
+    from pfb_imaging_tpu.ops.gridder import dirty2vis_hostloop, vis2dirty_hostloop
+
+    nx = ny = 64
+    cell = 2.5e-5
+    uvw, freq = make_data(seed=23)
+    rng = np.random.default_rng(9)
+    nrow, nchan = uvw.shape[0], freq.size
+    vis = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    wgt = rng.uniform(0.5, 2.0, (nrow, nchan))
+    img = rng.standard_normal((nx, ny))
+
+    plan = plan_wgridder(
+        uvw, freq, nx=nx, ny=ny, cellx=cell, celly=cell, l0=0.01, m0=-0.02,
+        epsilon=1e-7, do_wgridding=do_wgridding, divide_by_n=True,
+    )
+    d1 = np.asarray(vis2dirty(plan, vis, wgt=wgt))
+    d2 = np.asarray(vis2dirty_hostloop(plan, vis, wgt=wgt))
+    np.testing.assert_allclose(d2, d1, atol=1e-12 * np.abs(d1).max())
+    v1 = np.asarray(dirty2vis(plan, img))
+    v2 = np.asarray(dirty2vis_hostloop(plan, img))
+    np.testing.assert_allclose(v2, v1, atol=1e-12 * np.abs(v1).max())
