@@ -195,8 +195,14 @@ def plan_wgridder(
     sigma: float = 2.0,
     w_sigma: float = 2.0,
     dtype=np.float64,
+    force_w_grid: tuple | None = None,
 ) -> WGridderPlan:
-    """Host-side planning: kernel selection, corrections, w-plane bucketing."""
+    """Host-side planning: kernel selection, corrections, w-plane bucketing.
+
+    ``force_w_grid``: optional (w0, dw, nw) overriding the data-derived
+    w-plane layout — row shards must share one plane grid so a single SPMD
+    program serves them (parallel/sharded.plan_wgridder_sharded).
+    """
     uvw = np.asarray(uvw, dtype=np.float64)
     freq = np.asarray(freq, dtype=np.float64)
     nrow, nchan = uvw.shape[0], freq.shape[0]
@@ -233,21 +239,27 @@ def plan_wgridder(
         with np.errstate(divide="ignore"):
             corr = np.where(nn > 0, corr / nn, 0.0)
 
-    if do_wgridding and np.any(np.abs(w_lam) > 0):
+    if do_wgridding and (np.any(np.abs(w_lam) > 0) or force_w_grid is not None):
         w_supp = support
-        nm1_absmax = float(np.abs(nm1).max())
-        nm1_absmax = max(nm1_absmax, 1e-12)
-        dw = 1.0 / (2.0 * w_sigma * nm1_absmax)
-        wmin = float(w_lam.min())
-        wmax = float(w_lam.max())
-        # base plane index i0(v): kernel support covers planes i0 .. i0+Ww-1
-        # (parity-correct windowing, see _uv_stencil)
-        p0f = (w_lam - wmin) / dw
-        i0 = np.floor(p0f - w_supp / 2.0).astype(np.int64) + 1
-        shift = i0.min()
-        i0 = i0 - shift
-        w0 = wmin + shift * dw  # w of plane 0
-        nw = int(i0.max()) + w_supp
+        if force_w_grid is not None:
+            w0, dw, nw = force_w_grid
+            p0f = (w_lam - w0) / dw
+            i0 = np.floor(p0f - w_supp / 2.0).astype(np.int64) + 1
+            if i0.size and (i0.min() < 0 or int(i0.max()) + w_supp > nw):
+                raise ValueError("force_w_grid does not cover this shard's w range")
+        else:
+            nm1_absmax = float(np.abs(nm1).max())
+            nm1_absmax = max(nm1_absmax, 1e-12)
+            dw = 1.0 / (2.0 * w_sigma * nm1_absmax)
+            wmin = float(w_lam.min())
+            # base plane index i0(v): kernel support covers planes i0..i0+Ww-1
+            # (parity-correct windowing, see _uv_stencil)
+            p0f = (w_lam - wmin) / dw
+            i0 = np.floor(p0f - w_supp / 2.0).astype(np.int64) + 1
+            shift = i0.min()
+            i0 = i0 - shift
+            w0 = wmin + shift * dw  # w of plane 0
+            nw = int(i0.max()) + w_supp
         # contiguous plane buckets over the i0-sorted stream (native O(n)
         # counting sort when the C++ kernels are available)
         from ..native import wplane_buckets

@@ -4,18 +4,27 @@ Gridding is linear in visibility rows (reference imager-pipeline.md:121-125,
 partition sum at core/imager.py:167-169), so row sharding is an
 embarrassingly-parallel local grid followed by a single image-space psum
 over ICI — the TPU-native form of the reference's pass-2 partition summing.
+
+Two paths: the exact-DFT shard (``row_sharded_vis2dirty``) and the
+production wgridder shard (``plan_wgridder_sharded`` +
+``sharded_vis2dirty``) where per-shard plans are padded to common static
+shapes so one SPMD program serves every shard.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.dft import vis2dirty_dft
+from ..ops.gridder import WGridderPlan, plan_wgridder, vis2dirty
 
 
 def row_sharded_vis2dirty(
@@ -74,3 +83,71 @@ def row_sharded_vis2dirty(
     if wgt is None:
         wgt = jnp.ones(vis.shape, dtype=jnp.real(vis).dtype)
     return _grid(uvw, freq, vis, wgt)
+
+
+def plan_wgridder_sharded(uvw, freq, nshards: int, **kw):
+    """Split rows into nshards chunks and build one SPMD-uniform plan.
+
+    A global plan derives the shared w-plane grid (w0, dw, nw); per-shard
+    plans are forced onto it and padded to the common bucket capacity, then
+    stacked leaf-wise. Returns (stacked_plan, rows_per_shard).
+    """
+    uvw = np.asarray(uvw)
+    nrow = uvw.shape[0]
+    if nrow % nshards:
+        raise ValueError(f"nrow={nrow} not divisible by nshards={nshards} — pad with zero-weight rows")
+    rows = nrow // nshards
+    global_plan = plan_wgridder(uvw, freq, **kw)
+    if global_plan.do_wgridding:
+        kw = dict(kw, force_w_grid=(global_plan.w0, global_plan.dw, global_plan.nw))
+    plans = [plan_wgridder(uvw[i * rows : (i + 1) * rows], freq, **kw) for i in range(nshards)]
+
+    cap = max(p.capacity for p in plans)
+    nvis = rows * plans[0].nchan
+
+    def pad_plan(p: WGridderPlan) -> WGridderPlan:
+        pad_tail = nvis + cap - p.u_pix.shape[0]
+        padi = lambda a: jnp.pad(a, (0, pad_tail))  # noqa: E731
+        return dataclasses.replace(
+            p,
+            capacity=cap,
+            u_pix=padi(p.u_pix),
+            v_pix=padi(p.v_pix),
+            w_lam=padi(p.w_lam),
+        )
+
+    plans = [pad_plan(p) for p in plans]
+    leaves = [jax.tree_util.tree_leaves(p) for p in plans]
+    treedef = jax.tree_util.tree_structure(plans[0])
+    stacked = jax.tree_util.tree_unflatten(treedef, [jnp.stack(ls) for ls in zip(*leaves)])
+    return stacked, rows
+
+
+def sharded_vis2dirty(mesh: Mesh, stacked_plan: WGridderPlan, vis, wgt=None, axes=("band", "row")):
+    """SPMD wgridding: each shard grids its rows, image psum over the mesh.
+
+    ``vis``/``wgt`` have shape (nshards, rows, nchan) with the leading axis
+    sharded over ``axes``.
+    """
+    if wgt is None:
+        wgt = jnp.ones(vis.shape, dtype=stacked_plan.u_pix.dtype)
+
+    shard_spec = P(axes)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: shard_spec, stacked_plan),
+            shard_spec,
+            shard_spec,
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _grid(plan_s, vis_s, wgt_s):
+        plan_local = jax.tree_util.tree_map(lambda a: a[0], plan_s)
+        partial_img = vis2dirty(plan_local, vis_s[0], wgt=wgt_s[0])
+        return jax.lax.psum(partial_img, axes)
+
+    return _grid(stacked_plan, vis, wgt)

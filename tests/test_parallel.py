@@ -113,3 +113,33 @@ def test_deconv_with_mesh(tmp_path):
     model_a, _ = deconv(dt_a, use_mesh=False, **dkw)
     model_b, _ = deconv(dt_b, use_mesh=True, **dkw)
     np.testing.assert_allclose(model_b, model_a, atol=1e-10)
+
+
+def test_sharded_wgridder_matches_single(tmp_path):
+    """Row-sharded wgridding psums to the single-device result."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pfb_imaging_tpu.parallel.mesh import make_mesh
+    from pfb_imaging_tpu.parallel.sharded import plan_wgridder_sharded, sharded_vis2dirty
+    from pfb_imaging_tpu.ops.gridder import plan_wgridder, vis2dirty
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    nrow, nchan, nx = 256, 2, 32
+    cell = 1e-4
+    uvw = rng.uniform(-200, 200, (nrow, 3))
+    freq = np.linspace(1e9, 1.1e9, nchan)
+    vis = (rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan)))
+    wgt = rng.uniform(0.5, 2.0, (nrow, nchan))
+
+    kw = dict(nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-7, do_wgridding=True, divide_by_n=False)
+    ref = np.asarray(vis2dirty(plan_wgridder(uvw, freq, **kw), jnp.asarray(vis), wgt=jnp.asarray(wgt)))
+
+    mesh = make_mesh(band=4, row=2)
+    nsh = 8
+    stacked, rows = plan_wgridder_sharded(uvw, freq, nsh, **kw)
+    spec = NamedSharding(mesh, P(("band", "row")))
+    vis_s = jax.device_put(jnp.asarray(vis.reshape(nsh, rows, nchan)), spec)
+    wgt_s = jax.device_put(jnp.asarray(wgt.reshape(nsh, rows, nchan)), spec)
+    out = np.asarray(sharded_vis2dirty(mesh, stacked, vis_s, wgt_s))
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max())
