@@ -115,6 +115,23 @@ def deconv(
     solver = PRESETS[preset](abspsfhat, wsums, geometry, model, update, opts)
     dt.set_attrs(hess_norm=solver.hess_norm)
 
+    # warm-start the PD dual from the checkpoint when present — the
+    # reference re-zeros it every run (primal_dual.py:383, noted in SURVEY
+    # §5.4 as unpersisted state); persisting it shortens the backward solve
+    # on resume
+    bwd = solver.backward_alg
+    if getattr(bwd, "_v", None) is not None:
+        dual0 = []
+        for key in band_nodes:
+            node = dt.group(key)
+            if node.has("DUAL"):
+                dual0.append(np.asarray(node.read("DUAL")))
+        if len(dual0) == nband:
+            import jax.numpy as jnp_
+
+            bwd._v = jnp_.asarray(np.stack(dual0))
+            log.info("warm-started PD dual from checkpoint")
+
     if use_mesh:
         # shard the solver's cube state over the band mesh axis — the jitted
         # CG/PD programs then run SPMD with band-sum collectives (replaces
@@ -178,13 +195,17 @@ def deconv(
             best_rms = rms
             best_model = model.copy()
 
-        # checkpoint write-back (reference core/deconv.py:346-372)
+        # checkpoint write-back (reference core/deconv.py:346-372), plus the
+        # PD dual (an improvement over the reference's unpersisted dual)
+        dual_ck = getattr(solver.backward_alg, "_v", None)
         for b, key in enumerate(band_nodes):
             node = dt.group(key)
             node.write("MODEL", model[b])
             node.write("UPDATE", update[b])
             node.write("RESIDUAL", residual[b])
             node.write("MODEL_BEST", best_model[b])
+            if dual_ck is not None:
+                node.write("DUAL", np.asarray(dual_ck[b]))
             node.set_attrs(niters=k + 1, rms=rms, rmax=rmax, hess_norm=solver.hess_norm)
 
         if rms > rms_p and rmax > rmax_p:
