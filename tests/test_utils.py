@@ -129,3 +129,38 @@ def test_transients():
         assert ds.shape == (50, 4)
         assert ds.max() <= 2.0 + 1e-12
         assert (ds >= 0).all()
+
+
+def test_phase_timer():
+    import time
+
+    from pfb_imaging_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t("a"):
+        time.sleep(0.01)
+    with t("b"):
+        time.sleep(0.02)
+    assert t.totals["b"] > t.totals["a"] > 0
+    lines = []
+    t.report(lines.append)
+    assert any("accounted" in ln for ln in lines)
+
+
+def test_cost_analysis_and_lowering():
+    import jax.numpy as jnp
+
+    from pfb_imaging_tpu.utils.profiling import cost_analysis, lowering_text
+
+    f = lambda x: jnp.sum(x * x)  # noqa: E731
+    txt = lowering_text(f, jnp.ones((8, 8)))
+    assert "stablehlo" in txt or "mhlo" in txt or "func" in txt
+    ca = cost_analysis(f, jnp.ones((8, 8)))
+    assert isinstance(ca, dict)
+
+
+def test_device_memory_stats():
+    from pfb_imaging_tpu.utils.profiling import device_memory_stats
+
+    stats = device_memory_stats()
+    assert len(stats) >= 1 and "device" in stats[0]
