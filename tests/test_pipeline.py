@@ -307,3 +307,30 @@ def test_hci_transient_injection(sim_ms, tmp_path):
     p = q = 16
     assert abs(cube[0, 0, p, q]) < 0.5
     assert cube[1, 0, p, q] == pytest.approx(5.0, rel=0.15)
+
+
+def test_imager_briggs_weighting(sim_ms, tmp_path):
+    """Briggs robustness narrows the PSF mainlobe relative to natural
+    weighting (the classic uniform/natural trade)."""
+    ms_path, truth = sim_ms
+    xds = str(tmp_path / "b_I.xds")
+    init(ms_path, xds, product="I")
+    kw = dict(nband=1, nx=truth["nx"], cell_size=np.rad2deg(truth["cell_rad"]) * 3600, epsilon=1e-9, fits_out=False)
+    dt_nat = str(tmp_path / "nat.dt")
+    dt_uni = str(tmp_path / "uni.dt")
+    imager(xds, dt_nat, robustness=None, **kw)
+    imager(xds, dt_uni, robustness=-2.0, **kw)
+
+    from pfb_imaging_tpu.geometry import fitcleanbeam
+
+    def beam_area(dt):
+        tree = TreeStore(dt)
+        node = tree.group("band0000_time0000")
+        psf = np.asarray(node.read("PSF"))
+        wsum = float(np.asarray(node.read("WSUM"))[0])
+        par = fitcleanbeam((psf / wsum)[None])[0]
+        return par[0] * par[1]
+
+    a_nat = beam_area(dt_nat)
+    a_uni = beam_area(dt_uni)
+    assert a_uni < a_nat, f"uniform beam ({a_uni}) should be tighter than natural ({a_nat})"
