@@ -503,9 +503,11 @@ def _vis2dirty_plane(plan: WGridderPlan, wv_sorted_ri, p_arr):
 
     wv_sorted_ri: (2, nvis) real/imag weighted vis (sorted-stream order,
     phase shift applied); p_arr: (1,) int32 plane index.
+
+    Real-only arithmetic except the FFT itself (the only complex op proven
+    to execute on every target runtime — docs/tpu-runtime-notes.md).
     """
     rdtype = plan.u_pix.dtype
-    cdtype = plan.phase_shift.dtype
     nvis = plan.sort_idx.shape[0]
     p = p_arr[0]
     up = plan.u_pix[:nvis]
@@ -520,26 +522,38 @@ def _vis2dirty_plane(plan: WGridderPlan, wv_sorted_ri, p_arr):
     grid_ri = jnp.zeros((2, plan.nbig_x, plan.nbig_y), dtype=rdtype)
     grid_ri = grid_ri.at[:, iu[:, :, None], iv[:, None, :]].add(contrib)
     grid = jax.lax.complex(grid_ri[0], grid_ri[1])
-    big = jnp.fft.fftshift(jnp.fft.ifft2(grid)) * (plan.nbig_x * plan.nbig_y)
-    a = _crop_center(plan, big)
+    big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
+    bre = jnp.fft.fftshift(jnp.real(big))
+    bim = jnp.fft.fftshift(jnp.imag(big))
+    are = _crop_center(plan, bre)
+    aim = _crop_center(plan, bim)
     if plan.do_wgridding:
         wp = plan.w0 + p.astype(rdtype) * plan.dw
-        screen = jnp.exp((-2j * jnp.pi * wp) * plan.nm1.astype(cdtype))
-        a = a * screen
-    return jnp.stack([jnp.real(a), jnp.imag(a)])
+        phase = (-2.0 * jnp.pi * wp) * plan.nm1
+        c, s = jnp.cos(phase), jnp.sin(phase)
+        return jnp.stack([are * c - aim * s, are * s + aim * c])
+    return jnp.stack([are, aim])
 
 
 @jax.jit
-def _vis2dirty_prepare(plan: WGridderPlan, vis, wgt, mask):
-    cdtype = plan.phase_shift.dtype
+def _vis2dirty_prepare(plan: WGridderPlan, vis_re, vis_im, wgt, mask):
+    """Sorted-stream real/imag weighted vis with the conjugate phase shift
+    applied — all in real arithmetic."""
     rdtype = plan.u_pix.dtype
-    wv = vis.astype(cdtype)
+    wre = vis_re.astype(rdtype)
+    wim = vis_im.astype(rdtype)
     if wgt is not None:
-        wv = wv * wgt.astype(rdtype)
+        wre = wre * wgt.astype(rdtype)
+        wim = wim * wgt.astype(rdtype)
     if mask is not None:
-        wv = wv * mask.astype(rdtype)
-    wv_sorted = wv.reshape(-1)[plan.sort_idx] * jnp.conj(plan.phase_shift)
-    return jnp.stack([jnp.real(wv_sorted), jnp.imag(wv_sorted)])
+        wre = wre * mask.astype(rdtype)
+        wim = wim * mask.astype(rdtype)
+    sre = wre.reshape(-1)[plan.sort_idx]
+    sim = wim.reshape(-1)[plan.sort_idx]
+    pre = jnp.real(plan.phase_shift)
+    pim = jnp.imag(plan.phase_shift)
+    # multiply by conj(phase_shift)
+    return jnp.stack([sre * pre + sim * pim, sim * pre - sre * pim])
 
 
 @jax.jit
@@ -547,11 +561,19 @@ def _vis2dirty_finish(plan: WGridderPlan, acc_ri):
     return acc_ri[0] * plan.corr_img * plan.cw_img
 
 
-def vis2dirty_hostloop(plan: WGridderPlan, vis, wgt=None, mask=None):
-    """vis2dirty via the per-plane host loop (runtime-portable mode)."""
+def vis2dirty_hostloop(plan: WGridderPlan, vis, wgt=None, mask=None, vis_im=None):
+    """vis2dirty via the per-plane host loop (runtime-portable mode).
+
+    ``vis`` may be complex, or the real part with ``vis_im`` the imaginary
+    part (runtimes that cannot transfer complex host->device).
+    """
     import numpy as np
 
-    wv_ri = _vis2dirty_prepare(plan, vis, wgt, mask)
+    if vis_im is None:
+        vis_re, vis_im = jnp.real(vis), jnp.imag(vis)
+    else:
+        vis_re = vis
+    wv_ri = _vis2dirty_prepare(plan, vis_re, vis_im, wgt, mask)
     acc = None
     for p in range(plan.nw):
         c = _vis2dirty_plane(plan, wv_ri, jnp.asarray(np.asarray([p], np.int32)))
@@ -561,18 +583,22 @@ def vis2dirty_hostloop(plan: WGridderPlan, vis, wgt=None, mask=None):
 
 @jax.jit
 def _dirty2vis_plane(plan: WGridderPlan, ieff, p_arr):
-    """One plane's contribution to every visibility (full stream)."""
+    """One plane's contribution to every visibility (full stream).
+
+    Real-only except the FFT (see _vis2dirty_plane)."""
     rdtype = plan.u_pix.dtype
-    cdtype = plan.phase_shift.dtype
     nvis = plan.sort_idx.shape[0]
     p = p_arr[0]
     if plan.do_wgridding:
         wp = plan.w0 + p.astype(rdtype) * plan.dw
-        screen = jnp.exp((2j * jnp.pi * wp) * plan.nm1.astype(cdtype))
-        a = _pad_center(plan, ieff.astype(cdtype) * screen)
+        phase = (2.0 * jnp.pi * wp) * plan.nm1
+        are = _pad_center(plan, ieff * jnp.cos(phase))
+        aim = _pad_center(plan, ieff * jnp.sin(phase))
     else:
-        a = _pad_center(plan, ieff.astype(cdtype))
-    grid = jnp.fft.fft2(jnp.fft.ifftshift(a))
+        are = _pad_center(plan, ieff)
+        aim = jnp.zeros_like(are)
+    a = jax.lax.complex(jnp.fft.ifftshift(are), jnp.fft.ifftshift(aim))
+    grid = jnp.fft.fft2(a)
     up = plan.u_pix[:nvis]
     vp = plan.v_pix[:nvis]
     wl = plan.w_lam[:nvis]
@@ -584,20 +610,28 @@ def _dirty2vis_plane(plan: WGridderPlan, ieff, p_arr):
 
 
 @jax.jit
-def _dirty2vis_finish(plan: WGridderPlan, vis_ri, mask):
-    cdtype = plan.phase_shift.dtype
+def _dirty2vis_finish_ri(plan: WGridderPlan, vis_ri, mask):
+    """Unsort + phase shift in real arithmetic; returns (2, nrow, nchan)."""
     rdtype = plan.u_pix.dtype
     nvis = plan.sort_idx.shape[0]
-    vis_sorted = jax.lax.complex(vis_ri[0], vis_ri[1]) * plan.phase_shift
-    vis = jnp.zeros(nvis, dtype=cdtype).at[plan.sort_idx].set(vis_sorted)
-    vis = vis.reshape(plan.nrow, plan.nchan)
+    pre = jnp.real(plan.phase_shift)
+    pim = jnp.imag(plan.phase_shift)
+    sre = vis_ri[0] * pre - vis_ri[1] * pim
+    sim = vis_ri[0] * pim + vis_ri[1] * pre
+    out = jnp.zeros((2, nvis), dtype=rdtype)
+    out = out.at[0, plan.sort_idx].set(sre)
+    out = out.at[1, plan.sort_idx].set(sim)
+    out = out.reshape(2, plan.nrow, plan.nchan)
     if mask is not None:
-        vis = vis * mask.astype(rdtype)
-    return vis
+        out = out * mask.astype(rdtype)[None]
+    return out
 
 
-def dirty2vis_hostloop(plan: WGridderPlan, image, mask=None):
-    """dirty2vis via the per-plane host loop (runtime-portable mode)."""
+def dirty2vis_hostloop(plan: WGridderPlan, image, mask=None, split: bool = False):
+    """dirty2vis via the per-plane host loop (runtime-portable mode).
+
+    ``split=True`` returns stacked (2, nrow, nchan) real/imag instead of a
+    complex array (runtimes without complex d2h transfers)."""
     import numpy as np
 
     ieff = image.astype(plan.u_pix.dtype) * plan.corr_img * plan.cw_img
@@ -605,4 +639,7 @@ def dirty2vis_hostloop(plan: WGridderPlan, image, mask=None):
     for p in range(plan.nw):
         c = _dirty2vis_plane(plan, ieff, jnp.asarray(np.asarray([p], np.int32)))
         acc = c if acc is None else acc + c
-    return _dirty2vis_finish(plan, acc, mask)
+    out_ri = _dirty2vis_finish_ri(plan, acc, mask)
+    if split:
+        return out_ri
+    return jax.lax.complex(out_ri[0], out_ri[1])
