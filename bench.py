@@ -84,12 +84,12 @@ plan = plan_wgridder(uvw, freq, nx=nx, ny=nx, cellx=8e-6, celly=8e-6, epsilon=1e
                      do_wgridding=True, divide_by_n=False, dtype=np.float32)
 vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
 vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
-mk = jax.jit(lambda a, b, s: jax.lax.complex(a * s[0], b))
-np.asarray(cks(vis2dirty_hostloop(plan, mk(vr, vi, scal(1.0)))))  # compile+run
+sc = jax.jit(lambda a, s: a * s[0])
+np.asarray(cks(vis2dirty_hostloop(plan, sc(vr, scal(1.0)), vis_im=vi)))  # compile+run
 def chain():
     acc = None
     for i in range(NREP):
-        d = vis2dirty_hostloop(plan, mk(vr, vi, scal(1.0 + 1e-6 * i)))
+        d = vis2dirty_hostloop(plan, sc(vr, scal(1.0 + 1e-6 * i)), vis_im=vi)
         acc = d if acc is None else acc + d
     return np.asarray(cks(acc))
 chain()

@@ -112,7 +112,8 @@ def _kernel_ft(xi: np.ndarray, support: int, beta: float, delta: float = 1.0, nq
         "sort_idx",
         "plane_start",
         "plane_count",
-        "phase_shift",
+        "phase_re",
+        "phase_im",
         "corr_img",
         "nm1",
         "cw_img",
@@ -170,7 +171,9 @@ class WGridderPlan:
     plane_count: jnp.ndarray  # (nw,)
     w0: float  # w of plane 0
     dw: float
-    phase_shift: jnp.ndarray  # (nvis,) complex e^{-2 pi i (u'l0' + v'm0')}
+    phase_re: jnp.ndarray  # (nvis,) real/imag of e^{-2 pi i (u'l0' + v'm0')}
+    phase_im: jnp.ndarray  # (complex leaves are split: c64 host<->device
+    #                         transfers are unimplemented on some runtimes)
     corr_img: jnp.ndarray  # (nx, ny) real image-domain correction (uv, /n)
     nm1: jnp.ndarray  # (nx, ny) n-1
     cw_img: jnp.ndarray  # (nx, ny) w-kernel correction (dw/khat_w(nm1)), ones if no w
@@ -335,7 +338,8 @@ def plan_wgridder(
         nw=int(plan["nw"]),
         w_support=int(plan["w_support"]),
         capacity=int(plan["capacity"]),
-        phase_shift=jnp.asarray(host(phase_shift, cdtype)),
+        phase_re=jnp.asarray(host(phase_shift.real, dtype)),
+        phase_im=jnp.asarray(host(phase_shift.imag, dtype)),
         corr_img=jnp.asarray(host(corr, dtype)),
         nm1=jnp.asarray(host(nm1, dtype)),
         cw_img=jnp.asarray(host(cw, dtype)),
@@ -402,7 +406,7 @@ def _crop_center(plan: WGridderPlan, big):
 def dirty2vis(plan: WGridderPlan, image, mask=None):
     """Degrid an (nx, ny) image to (nrow, nchan) visibilities."""
     rdtype = plan.u_pix.dtype
-    cdtype = plan.phase_shift.dtype
+    cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
     ieff = image.astype(rdtype) * plan.corr_img * plan.cw_img
 
     def body(carry, p):
@@ -433,8 +437,9 @@ def dirty2vis(plan: WGridderPlan, image, mask=None):
     nvis = plan.sort_idx.shape[0]
     npad = plan.u_pix.shape[0]
     vis_ri, _ = jax.lax.scan(body, jnp.zeros((2, npad), dtype=rdtype), jnp.arange(plan.nw))
+    phase = jax.lax.complex(plan.phase_re, plan.phase_im)
     vis_padded = jax.lax.complex(vis_ri[0], vis_ri[1])
-    vis_sorted = vis_padded[:nvis] * plan.phase_shift
+    vis_sorted = vis_padded[:nvis] * phase
     # unsort back to (row, chan) order
     vis = jnp.zeros(nvis, dtype=cdtype).at[plan.sort_idx].set(vis_sorted)
     vis = vis.reshape(plan.nrow, plan.nchan)
@@ -447,14 +452,14 @@ def dirty2vis(plan: WGridderPlan, image, mask=None):
 def vis2dirty(plan: WGridderPlan, vis, wgt=None, mask=None):
     """Grid (nrow, nchan) visibilities to an (nx, ny) dirty image (exact adjoint)."""
     rdtype = plan.u_pix.dtype
-    cdtype = plan.phase_shift.dtype
+    cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
     wv = vis.astype(cdtype)
     if wgt is not None:
         wv = wv * wgt.astype(rdtype)
     if mask is not None:
         wv = wv * mask.astype(rdtype)
     # sorted-stream order, conjugate phase shift, padded to match coordinates
-    wv_sorted = wv.reshape(-1)[plan.sort_idx] * jnp.conj(plan.phase_shift)
+    wv_sorted = wv.reshape(-1)[plan.sort_idx] * jnp.conj(jax.lax.complex(plan.phase_re, plan.phase_im))
     wv_sorted = jnp.pad(wv_sorted, (0, plan.capacity))
 
     def body(carry, p):
@@ -550,8 +555,8 @@ def _vis2dirty_prepare(plan: WGridderPlan, vis_re, vis_im, wgt, mask):
         wim = wim * mask.astype(rdtype)
     sre = wre.reshape(-1)[plan.sort_idx]
     sim = wim.reshape(-1)[plan.sort_idx]
-    pre = jnp.real(plan.phase_shift)
-    pim = jnp.imag(plan.phase_shift)
+    pre = plan.phase_re
+    pim = plan.phase_im
     # multiply by conj(phase_shift)
     return jnp.stack([sre * pre + sim * pim, sim * pre - sre * pim])
 
@@ -614,8 +619,8 @@ def _dirty2vis_finish_ri(plan: WGridderPlan, vis_ri, mask):
     """Unsort + phase shift in real arithmetic; returns (2, nrow, nchan)."""
     rdtype = plan.u_pix.dtype
     nvis = plan.sort_idx.shape[0]
-    pre = jnp.real(plan.phase_shift)
-    pim = jnp.imag(plan.phase_shift)
+    pre = plan.phase_re
+    pim = plan.phase_im
     sre = vis_ri[0] * pre - vis_ri[1] * pim
     sim = vis_ri[0] * pim + vis_ri[1] * pre
     out = jnp.zeros((2, nvis), dtype=rdtype)
