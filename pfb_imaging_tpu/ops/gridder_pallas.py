@@ -1,22 +1,22 @@
-"""Pallas tiled gridding kernel (experimental; the BASELINE north star's
-"sort/bucket vis by uv-tile, per-tile dense accumulate in VMEM" recipe).
+"""Pallas tiled gridding kernel — the TPU scatter core.
 
-The XLA scatter path in ops/gridder.py is correct everywhere; this module
-provides the TPU-kernel alternative for the scatter core:
+XLA's scatter lowers to near-serial updates on TPU (measured ~0.07 Mvis/s
+at 1024² — docs/tpu-runtime-notes.md); this kernel implements the BASELINE
+north star's recipe: bucket visibilities by uv tile, accumulate each tile's
+stencils in VMEM, overlap-add the halo aprons back onto the grid.
 
-  * plan time (host): visibilities are bucketed by the uv tile containing
-    their support window and padded to a static per-tile capacity; windows
-    that wrap the grid edge go to the XLA fallback (a vanishing fraction
-    away from sub-Nyquist settings).
-  * kernel: one program per tile; a VMEM accumulator of
-    (2, TILE+HALO_U, TILE+HALO_V) collects the W x W stencils of the
-    tile's visibilities (serial fori over the padded bucket — padding
-    entries carry zero contributions, so no per-vis masking is needed).
-  * epilogue (XLA): overlap-add of the per-tile padded blocks back onto
-    the full grid — dense, deterministic, race-free.
+Mosaic alignment rules (dynamic VMEM indices must be 8-sublane aligned and
+full-lane) shape the kernel: the accumulator window is always full-width in
+lanes and 8-aligned in sublanes, and the visibility's ES stencil is
+EVALUATED IN-REGISTER over that window from its fractional (u, v)
+coordinates — iota minus scalar, square, sqrt, exp — so the kernel never
+performs an unaligned vector access and needs no precomputed stencils.
 
-Tested in interpreter mode on CPU (tests/test_gridder_pallas.py) so the
-kernel logic is validated without TPU compile cycles.
+Per-vis work: ~a dozen VPU ops on a (16, TILE_V + 128) window. Padding
+entries carry zero visibility values (no masking in the hot loop).
+
+Validated in interpreter mode against a direct scatter oracle
+(tests/test_gridder_pallas.py); ``interpret=False`` for TPU.
 """
 
 from __future__ import annotations
@@ -28,30 +28,44 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256
-HALO_U = 8  # >= support, sublane-aligned
-HALO_V = 128  # >= support, lane-aligned
+TILE_U = 256  # sublane-dim tile
+TILE_V = 128  # lane-dim tile
+PAD_U = 16  # stencil landing window height (8-aligned start + support)
+PAD_V = 128  # lane apron (>= support, multiple of 128)
+ACC_U = TILE_U + PAD_U
+ACC_V = TILE_V + PAD_V
 
 
-def plan_tiles(iu0: np.ndarray, iv0: np.ndarray, support: int, nbig_x: int, nbig_y: int, vals_re, vals_im, ku, kv):
-    """Bucket + pad the visibility stream by uv tile.
+def plan_tiles(u_loc: np.ndarray, v_loc: np.ndarray, support: int, nbig_x: int, nbig_y: int):
+    """Bucket visibilities by the uv tile containing their support window.
 
-    Args:
-        iu0/iv0: (n,) window starts, wrapped into [0, nbig).
-        vals_re/vals_im: (n,) weighted visibility values.
-        ku/kv: (n, support) separable kernel weights.
+    u_loc/v_loc: (n,) fractional grid coordinates of each visibility with
+    the window start already wrapped into [0, nbig) — i.e. the window
+    covers integer cells [i0, i0+W) with i0 = floor(c - W/2) + 1.
 
-    Returns dict with padded per-tile arrays (nbuckets*capacity leading
-    dim): lu, lv (tile-local starts), contrib_re/im (support x support
-    stencils), plus (ntx, nty, capacity) and the fallback indices.
+    Returns a dict with the packed per-tile layout:
+      pad_idx (nbuckets*capacity,): index into the vis stream (n == padding
+          sentinel; gather from a zero-extended values array),
+      lu8: 8-aligned window start within the tile,
+      fu/fv: fractional (u, v) coordinates relative to (tile + lu8, tile),
+      capacity, ntx, nty, fallback (wrapping windows for the XLA path).
     """
-    assert support <= HALO_U and support <= HALO_V
-    ntx = (nbig_x + TILE - 1) // TILE
-    nty = (nbig_y + TILE - 1) // TILE
+    assert support <= 8 and support <= PAD_V
+    n = u_loc.size
+    iu0 = (np.floor(u_loc - support / 2.0) + 1).astype(np.int64)
+    iv0 = (np.floor(v_loc - support / 2.0) + 1).astype(np.int64)
+    iu0w = np.mod(iu0, nbig_x)
+    iv0w = np.mod(iv0, nbig_y)
+    # wrap the coordinate along with the window
+    u_w = u_loc + (iu0w - iu0)
+    v_w = v_loc + (iv0w - iv0)
+    ntx = (nbig_x + TILE_U - 1) // TILE_U
+    nty = (nbig_y + TILE_V - 1) // TILE_V
     nbuckets = ntx * nty
-    ok = (iu0 <= nbig_x - support) & (iv0 <= nbig_y - support)
-    tid = np.where(ok, (iu0 // TILE) * nty + (iv0 // TILE), nbuckets)
+    ok = (iu0w <= nbig_x - support) & (iv0w <= nbig_y - support)
+    tid = np.where(ok, (iu0w // TILE_U) * nty + (iv0w // TILE_V), nbuckets)
     order = np.argsort(tid, kind="stable")
     n_ok = int(ok.sum())
     good = order[:n_ok]
@@ -59,27 +73,27 @@ def plan_tiles(iu0: np.ndarray, iv0: np.ndarray, support: int, nbig_x: int, nbig
     starts = np.searchsorted(tid_g, np.arange(nbuckets), side="left")
     ends = np.searchsorted(tid_g, np.arange(nbuckets), side="right")
     counts = ends - starts
-    capacity = max(int(counts.max()) if nbuckets else 1, 1)
+    capacity = max(int(counts.max()) if nbuckets else 1, 8)
 
-    lu = np.zeros((nbuckets, capacity), np.int32)
-    lv = np.zeros((nbuckets, capacity), np.int32)
-    cre = np.zeros((nbuckets, capacity, support, support), np.float32)
-    cim = np.zeros((nbuckets, capacity, support, support), np.float32)
-    stén_re = vals_re[:, None, None] * (ku[:, :, None] * kv[:, None, :])
-    stén_im = vals_im[:, None, None] * (ku[:, :, None] * kv[:, None, :])
+    pad_idx = np.full((nbuckets, capacity), n, np.int32)
+    lu8 = np.zeros((nbuckets, capacity), np.int32)
+    fu = np.zeros((nbuckets, capacity), np.float32)
+    fv = np.zeros((nbuckets, capacity), np.float32)
     for b in range(nbuckets):
         sel = good[starts[b] : ends[b]]
         c = sel.size
         tx, ty = b // nty, b % nty
-        lu[b, :c] = iu0[sel] - tx * TILE
-        lv[b, :c] = iv0[sel] - ty * TILE
-        cre[b, :c] = stén_re[sel]
-        cim[b, :c] = stén_im[sel]
+        lu_loc = iu0w[sel] - tx * TILE_U  # in [0, TILE_U)
+        aligned = (lu_loc // 8) * 8
+        pad_idx[b, :c] = sel
+        lu8[b, :c] = aligned
+        fu[b, :c] = (u_w[sel] - tx * TILE_U) - aligned
+        fv[b, :c] = v_w[sel] - ty * TILE_V
     return dict(
-        lu=lu.reshape(-1),
-        lv=lv.reshape(-1),
-        contrib_re=cre.reshape(-1, support, support),
-        contrib_im=cim.reshape(-1, support, support),
+        pad_idx=pad_idx.reshape(-1),
+        lu8=lu8.reshape(-1),
+        fu=fu.reshape(-1),
+        fv=fv.reshape(-1),
         capacity=capacity,
         ntx=ntx,
         nty=nty,
@@ -87,29 +101,40 @@ def plan_tiles(iu0: np.ndarray, iv0: np.ndarray, support: int, nbig_x: int, nbig
     )
 
 
-def _scatter_kernel(u_ref, v_ref, cre_ref, cim_ref, out_ref, *, support: int, capacity: int):
+def _scatter_kernel(lu_ref, fu_ref, fv_ref, vre_ref, vim_ref, out_ref, *, support: int, beta: float, capacity: int):
+    """One tile: evaluate + accumulate each visibility's ES stencil."""
     out_ref[...] = jnp.zeros_like(out_ref)
+    inv = 2.0 / support
+    row = jax.lax.broadcasted_iota(jnp.int32, (PAD_U, ACC_V), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (PAD_U, ACC_V), 1).astype(jnp.float32)
+
+    def es(x):
+        x2 = x * x
+        inside = x2 < 1.0
+        return jnp.where(inside, jnp.exp(beta * (jnp.sqrt(jnp.where(inside, 1.0 - x2, 0.0)) - 1.0)), 0.0)
 
     def body(i, _):
-        lu = u_ref[i]
-        lv = v_ref[i]
-        pad_re = jnp.zeros((HALO_U, HALO_V), out_ref.dtype).at[:support, :support].set(cre_ref[i])
-        pad_im = jnp.zeros((HALO_U, HALO_V), out_ref.dtype).at[:support, :support].set(cim_ref[i])
-        out_ref[0, 0, pl.ds(lu, HALO_U), pl.ds(lv, HALO_V)] += pad_re
-        out_ref[0, 1, pl.ds(lu, HALO_U), pl.ds(lv, HALO_V)] += pad_im
+        xu = (row - fu_ref[i]) * inv
+        xv = (col - fv_ref[i]) * inv
+        sten = es(xu) * es(xv)
+        lu = pl.multiple_of(lu_ref[i], 8)
+        out_ref[0, 0, pl.ds(lu, PAD_U), :] += vre_ref[i] * sten
+        out_ref[0, 1, pl.ds(lu, PAD_U), :] += vim_ref[i] * sten
         return 0
 
     jax.lax.fori_loop(0, capacity, body, 0)
 
 
-@partial(jax.jit, static_argnames=("support", "capacity", "ntx", "nty", "nbig_x", "nbig_y", "interpret"))
+@partial(jax.jit, static_argnames=("support", "beta", "capacity", "ntx", "nty", "nbig_x", "nbig_y", "interpret"))
 def pallas_scatter_grid(
-    lu,
-    lv,
-    contrib_re,
-    contrib_im,
+    lu8,
+    fu,
+    fv,
+    vre,
+    vim,
     *,
     support: int,
+    beta: float,
     capacity: int,
     ntx: int,
     nty: int,
@@ -117,33 +142,38 @@ def pallas_scatter_grid(
     nbig_y: int,
     interpret: bool = False,
 ):
-    """Tiled scatter; returns the (2, nbig_x, nbig_y) real/imag grid."""
+    """Tiled scatter; returns the (2, nbig_x, nbig_y) real/imag grid.
+
+    All arrays are (nbuckets*capacity,) in tile-packed order (plan_tiles);
+    vre/vim are the weighted visibility values (zero on padding slots).
+    """
     nbuckets = ntx * nty
     blocks = pl.pallas_call(
-        partial(_scatter_kernel, support=support, capacity=capacity),
+        partial(_scatter_kernel, support=support, beta=beta, capacity=capacity),
         grid=(nbuckets,),
         in_specs=[
-            pl.BlockSpec((capacity,), lambda t: (t,)),
-            pl.BlockSpec((capacity,), lambda t: (t,)),
-            pl.BlockSpec((capacity, support, support), lambda t: (t, 0, 0)),
-            pl.BlockSpec((capacity, support, support), lambda t: (t, 0, 0)),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # lu8
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # fu
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # fv
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # vre
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # vim
         ],
-        out_specs=pl.BlockSpec((1, 2, TILE + HALO_U, TILE + HALO_V), lambda t: (t, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nbuckets, 2, TILE + HALO_U, TILE + HALO_V), contrib_re.dtype),
+        out_specs=pl.BlockSpec((1, 2, ACC_U, ACC_V), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbuckets, 2, ACC_U, ACC_V), jnp.float32),
         interpret=interpret,
-    )(lu, lv, contrib_re, contrib_im)
+    )(lu8, fu, fv, vre, vim)
 
     # overlap-add epilogue (tiles overlap only in their halo aprons)
-    blocks = blocks.reshape(ntx, nty, 2, TILE + HALO_U, TILE + HALO_V)
-    # fold v within each tile row
+    blocks = blocks.reshape(ntx, nty, 2, ACC_U, ACC_V)
     strips = 0
     for ty in range(nty):
-        pad = ((0, 0), (0, 0), (0, 0), (ty * TILE, (nty - 1 - ty) * TILE))
+        pad = ((0, 0), (0, 0), (0, 0), (ty * TILE_V, (nty - 1 - ty) * TILE_V))
         strips = strips + jnp.pad(blocks[:, ty], pad)
-    # fold u across tile rows
     grid_full = 0
     for tx in range(ntx):
-        pad = ((0, 0), (tx * TILE, (ntx - 1 - tx) * TILE), (0, 0))
+        pad = ((0, 0), (tx * TILE_U, (ntx - 1 - tx) * TILE_U), (0, 0))
         grid_full = grid_full + jnp.pad(strips[tx], pad)
-    # crop the outer apron (plan admits only non-wrapping windows)
+    # windows never extend past the grid (plan admits only iu0 <= nbig - W
+    # and the ES kernel is exactly zero outside its support), so the apron
+    # beyond nbig carries no mass — cropping suffices
     return grid_full[:, :nbig_x, :nbig_y]

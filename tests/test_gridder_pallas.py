@@ -3,38 +3,51 @@
 import numpy as np
 import pytest
 
-from pfb_imaging_tpu.ops.gridder_pallas import TILE, pallas_scatter_grid, plan_tiles
+from pfb_imaging_tpu.ops.gridder import es_kernel
+from pfb_imaging_tpu.ops.gridder_pallas import pallas_scatter_grid, plan_tiles
 
 
-def direct_scatter(iu0, iv0, stencils, nbig):
-    grid = np.zeros((nbig, nbig))
-    W = stencils.shape[-1]
-    for k in range(iu0.size):
-        grid[iu0[k] : iu0[k] + W, iv0[k] : iv0[k] + W] += stencils[k]
+def direct_scatter(u_loc, v_loc, vre, vim, support, beta, nbig):
+    """Oracle: dense loop accumulation of ES stencils."""
+    grid = np.zeros((2, nbig, nbig))
+    for k in range(u_loc.size):
+        i0 = int(np.floor(u_loc[k] - support / 2.0)) + 1
+        j0 = int(np.floor(v_loc[k] - support / 2.0)) + 1
+        for a in range(support):
+            xu = 2.0 * (i0 + a - u_loc[k]) / support
+            for b in range(support):
+                xv = 2.0 * (j0 + b - v_loc[k]) / support
+                w = es_kernel(np.array(xu), beta) * es_kernel(np.array(xv), beta)
+                grid[0, (i0 + a) % nbig, (j0 + b) % nbig] += vre[k] * w
+                grid[1, (i0 + a) % nbig, (j0 + b) % nbig] += vim[k] * w
     return grid
 
 
-@pytest.mark.parametrize("nbig", [512, 600])
+@pytest.mark.parametrize("nbig", [512, 640])
 def test_pallas_scatter_matches_direct(nbig):
     rng = np.random.default_rng(0)
-    n, W = 2000, 6
+    n, W, beta = 1500, 6, 13.8
     # keep windows off the wrap boundary (plan routes those to fallback)
-    iu0 = rng.integers(0, nbig - W, n).astype(np.int64)
-    iv0 = rng.integers(0, nbig - W, n).astype(np.int64)
-    vals_re = rng.standard_normal(n).astype(np.float32)
-    vals_im = rng.standard_normal(n).astype(np.float32)
-    ku = rng.uniform(0.1, 1.0, (n, W)).astype(np.float32)
-    kv = rng.uniform(0.1, 1.0, (n, W)).astype(np.float32)
+    u = rng.uniform(W, nbig - W - 1, n)
+    v = rng.uniform(W, nbig - W - 1, n)
+    vre = rng.standard_normal(n).astype(np.float32)
+    vim = rng.standard_normal(n).astype(np.float32)
 
-    tiles = plan_tiles(iu0, iv0, W, nbig, nbig, vals_re, vals_im, ku, kv)
+    tiles = plan_tiles(u, v, W, nbig, nbig)
     assert tiles["fallback"].size == 0
+    # gather values into packed order with zero padding
+    vre_pad = np.concatenate([vre, [0.0]]).astype(np.float32)[tiles["pad_idx"]]
+    vim_pad = np.concatenate([vim, [0.0]]).astype(np.float32)[tiles["pad_idx"]]
+
     out = np.asarray(
         pallas_scatter_grid(
-            tiles["lu"],
-            tiles["lv"],
-            tiles["contrib_re"],
-            tiles["contrib_im"],
+            tiles["lu8"],
+            tiles["fu"],
+            tiles["fv"],
+            vre_pad,
+            vim_pad,
             support=W,
+            beta=beta,
             capacity=tiles["capacity"],
             ntx=tiles["ntx"],
             nty=tiles["nty"],
@@ -43,21 +56,16 @@ def test_pallas_scatter_matches_direct(nbig):
             interpret=True,
         )
     )
-    sten_re = vals_re[:, None, None] * (ku[:, :, None] * kv[:, None, :])
-    sten_im = vals_im[:, None, None] * (ku[:, :, None] * kv[:, None, :])
-    oracle_re = direct_scatter(iu0, iv0, sten_re, nbig)
-    oracle_im = direct_scatter(iu0, iv0, sten_im, nbig)
-    np.testing.assert_allclose(out[0], oracle_re, atol=1e-4)
-    np.testing.assert_allclose(out[1], oracle_im, atol=1e-4)
+    oracle = direct_scatter(u, v, vre, vim, W, beta, nbig)
+    np.testing.assert_allclose(out, oracle, atol=2e-5 * np.abs(oracle).max())
 
 
 def test_plan_tiles_fallback():
     """Wrapping windows are routed to the fallback list."""
     nbig, W = 512, 8
-    iu0 = np.array([0, nbig - W, nbig - W + 1, 100], dtype=np.int64)
-    iv0 = np.array([0, 10, 10, nbig - 2], dtype=np.int64)
-    n = iu0.size
-    z = np.zeros(n, np.float32)
-    k = np.ones((n, W), np.float32)
-    tiles = plan_tiles(iu0, iv0, W, nbig, nbig, z, z, k, k)
-    assert set(tiles["fallback"]) == {2, 3}
+    u = np.array([1.0, 100.0, 510.0, 300.0])  # u=510 -> window wraps
+    v = np.array([100.0, 1.0, 100.0, 511.0])
+    tiles = plan_tiles(u, v, W, nbig, nbig)
+    assert 2 in tiles["fallback"] and 3 in tiles["fallback"]
+    # u=1.0 -> i0 = floor(1-4)+1 = -3 -> wraps too
+    assert 0 in tiles["fallback"]
