@@ -74,6 +74,7 @@ def plan_tiles(u_loc: np.ndarray, v_loc: np.ndarray, support: int, nbig_x: int, 
     ends = np.searchsorted(tid_g, np.arange(nbuckets), side="right")
     counts = ends - starts
     capacity = max(int(counts.max()) if nbuckets else 1, 8)
+    capacity = ((capacity + 1023) // 1024) * 1024  # rank-1 SMEM blocks tile at 1024
 
     pad_idx = np.full((nbuckets, capacity), n, np.int32)
     lu8 = np.zeros((nbuckets, capacity), np.int32)
@@ -177,3 +178,108 @@ def pallas_scatter_grid(
     # and the ES kernel is exactly zero outside its support), so the apron
     # beyond nbig carries no mass — cropping suffices
     return grid_full[:, :nbig_x, :nbig_y]
+
+
+# ── full vis2dirty through the Pallas scatter ────────────────────────
+
+
+def plan_pallas(plan) -> dict:
+    """Tile-bucket a WGridderPlan's (sorted-stream) uv coordinates.
+
+    Returns the plan_tiles dict plus device arrays for the packed gather.
+    Coordinates are the plan's signed fractional grid positions; window
+    wrapping is resolved here (mod nbig).
+    """
+    nvis = plan.sort_idx.shape[0]
+    u = np.asarray(plan.u_pix[:nvis], np.float64)
+    v = np.asarray(plan.v_pix[:nvis], np.float64)
+    tiles = plan_tiles(np.mod(u, plan.nbig_x), np.mod(v, plan.nbig_y), plan.support, plan.nbig_x, plan.nbig_y)
+    tiles["pad_idx_dev"] = jnp.asarray(tiles["pad_idx"])
+    tiles["lu8_dev"] = jnp.asarray(tiles["lu8"])
+    tiles["fu_dev"] = jnp.asarray(tiles["fu"].astype(np.float32))
+    tiles["fv_dev"] = jnp.asarray(tiles["fv"].astype(np.float32))
+    # the few visibilities whose support windows wrap the grid edge go
+    # through the XLA scatter (typically <<1% away from sub-Nyquist setups)
+    nfall = max(int(tiles["fallback"].size), 1)
+    fb = np.zeros(nfall, np.int64)
+    fb[: tiles["fallback"].size] = tiles["fallback"]
+    tiles["fb_idx_dev"] = jnp.asarray(fb.astype(np.int32))
+    tiles["fb_valid"] = jnp.asarray((np.arange(nfall) < tiles["fallback"].size).astype(np.float32))
+    return tiles
+
+
+def vis2dirty_pallas(plan, tiles: dict, vis_re, vis_im, wgt=None, mask=None, interpret: bool = False):
+    """vis2dirty with the Pallas scatter core (per-plane host loop).
+
+    Numerically identical to ops.gridder.vis2dirty_hostloop; the scatter is
+    the tiled VMEM kernel instead of an XLA scatter.
+    """
+    from .gridder import _vis2dirty_finish, _vis2dirty_prepare, _w_weight
+
+    wv_ri = _vis2dirty_prepare(plan, vis_re, vis_im, wgt, mask)
+    nvis = plan.sort_idx.shape[0]
+    kw = dict(
+        support=plan.support,
+        beta=plan.beta,
+        capacity=tiles["capacity"],
+        ntx=tiles["ntx"],
+        nty=tiles["nty"],
+        nbig_x=plan.nbig_x,
+        nbig_y=plan.nbig_y,
+        interpret=interpret,
+    )
+
+    @partial(jax.jit, static_argnames=())
+    def _plane_vals(plan, wv_ri, p_arr):
+        p = p_arr[0]
+        ww = _w_weight(plan, plan.w_lam[:nvis], p)
+        vre = jnp.concatenate([wv_ri[0] * ww, jnp.zeros(1, wv_ri.dtype)])
+        vim = jnp.concatenate([wv_ri[1] * ww, jnp.zeros(1, wv_ri.dtype)])
+        return vre[tiles["pad_idx_dev"]], vim[tiles["pad_idx_dev"]]
+
+    @jax.jit
+    def _plane_image(plan, grid_ri, p_arr):
+        p = p_arr[0]
+        rdtype = plan.u_pix.dtype
+        from .gridder import _crop_center
+
+        grid = jax.lax.complex(grid_ri[0], grid_ri[1])
+        big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
+        bre = jnp.fft.fftshift(jnp.real(big))
+        bim = jnp.fft.fftshift(jnp.imag(big))
+        are = _crop_center(plan, bre)
+        aim = _crop_center(plan, bim)
+        if plan.do_wgridding:
+            wp = plan.w0 + p.astype(rdtype) * plan.dw
+            phase = (-2.0 * jnp.pi * wp) * plan.nm1
+            c, s = jnp.cos(phase), jnp.sin(phase)
+            return jnp.stack([are * c - aim * s, are * s + aim * c])
+        return jnp.stack([are, aim])
+
+    from .gridder import _uv_stencil
+
+    @jax.jit
+    def _fallback_grid(plan, wv_ri, p_arr):
+        """XLA scatter for the (few) wrapping-window visibilities."""
+        p = p_arr[0]
+        idx = tiles["fb_idx_dev"]
+        ww = _w_weight(plan, plan.w_lam[idx], p) * tiles["fb_valid"]
+        vre = wv_ri[0, idx] * ww
+        vim = wv_ri[1, idx] * ww
+        iu, iv, ku, kv = _uv_stencil(plan, plan.u_pix[idx], plan.v_pix[idx])
+        kw2 = ku[:, :, None] * kv[:, None, :]
+        contrib = jnp.stack([vre, vim])[:, :, None, None] * kw2[None]
+        g = jnp.zeros((2, plan.nbig_x, plan.nbig_y), wv_ri.dtype)
+        return g.at[:, iu[:, :, None], iv[:, None, :]].add(contrib)
+
+    has_fallback = int(np.asarray(tiles["fb_valid"]).sum()) > 0
+    acc = None
+    for p in range(plan.nw):
+        p_arr = jnp.asarray(np.asarray([p], np.int32))
+        vre, vim = _plane_vals(plan, wv_ri, p_arr)
+        grid_ri = pallas_scatter_grid(tiles["lu8_dev"], tiles["fu_dev"], tiles["fv_dev"], vre, vim, **kw)
+        if has_fallback:
+            grid_ri = grid_ri + _fallback_grid(plan, wv_ri, p_arr)
+        c = _plane_image(plan, grid_ri, p_arr)
+        acc = c if acc is None else acc + c
+    return _vis2dirty_finish(plan, acc)
