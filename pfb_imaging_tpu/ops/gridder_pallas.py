@@ -75,27 +75,41 @@ def plan_tiles(u_loc: np.ndarray, v_loc: np.ndarray, support: int, nbig_x: int, 
     counts = ends - starts
     capacity = max(int(counts.max()) if nbuckets else 1, 8)
     capacity = ((capacity + 1023) // 1024) * 1024  # rank-1 SMEM blocks tile at 1024
+    # SMEM holds 5 x capacity scalars; chunk overloaded buckets so each
+    # kernel invocation stays within the 1 MB budget
+    max_cap = 8192
+    nchunks = max((capacity + max_cap - 1) // max_cap, 1)
+    capacity = min(capacity, max_cap)
 
-    pad_idx = np.full((nbuckets, capacity), n, np.int32)
-    lu8 = np.zeros((nbuckets, capacity), np.int32)
-    fu = np.zeros((nbuckets, capacity), np.float32)
-    fv = np.zeros((nbuckets, capacity), np.float32)
+    nslots = nbuckets * nchunks
+    pad_idx = np.full((nslots, capacity), n, np.int32)
+    lu8 = np.zeros((nslots, capacity), np.int32)
+    fu = np.zeros((nslots, capacity), np.float32)
+    fv = np.zeros((nslots, capacity), np.float32)
     for b in range(nbuckets):
         sel = good[starts[b] : ends[b]]
-        c = sel.size
         tx, ty = b // nty, b % nty
         lu_loc = iu0w[sel] - tx * TILE_U  # in [0, TILE_U)
         aligned = (lu_loc // 8) * 8
-        pad_idx[b, :c] = sel
-        lu8[b, :c] = aligned
-        fu[b, :c] = (u_w[sel] - tx * TILE_U) - aligned
-        fv[b, :c] = v_w[sel] - ty * TILE_V
+        fu_all = (u_w[sel] - tx * TILE_U) - aligned
+        fv_all = v_w[sel] - ty * TILE_V
+        for ch in range(nchunks):
+            piece = slice(ch * capacity, (ch + 1) * capacity)
+            c = sel[piece].size
+            if c == 0:
+                break
+            slot = b * nchunks + ch
+            pad_idx[slot, :c] = sel[piece]
+            lu8[slot, :c] = aligned[piece]
+            fu[slot, :c] = fu_all[piece]
+            fv[slot, :c] = fv_all[piece]
     return dict(
         pad_idx=pad_idx.reshape(-1),
         lu8=lu8.reshape(-1),
         fu=fu.reshape(-1),
         fv=fv.reshape(-1),
         capacity=capacity,
+        nchunks=nchunks,
         ntx=ntx,
         nty=nty,
         fallback=order[n_ok:],
@@ -126,7 +140,7 @@ def _scatter_kernel(lu_ref, fu_ref, fv_ref, vre_ref, vim_ref, out_ref, *, suppor
     jax.lax.fori_loop(0, capacity, body, 0)
 
 
-@partial(jax.jit, static_argnames=("support", "beta", "capacity", "ntx", "nty", "nbig_x", "nbig_y", "interpret"))
+@partial(jax.jit, static_argnames=("support", "beta", "capacity", "nchunks", "ntx", "nty", "nbig_x", "nbig_y", "interpret"))
 def pallas_scatter_grid(
     lu8,
     fu,
@@ -141,14 +155,16 @@ def pallas_scatter_grid(
     nty: int,
     nbig_x: int,
     nbig_y: int,
+    nchunks: int = 1,
     interpret: bool = False,
 ):
     """Tiled scatter; returns the (2, nbig_x, nbig_y) real/imag grid.
 
-    All arrays are (nbuckets*capacity,) in tile-packed order (plan_tiles);
-    vre/vim are the weighted visibility values (zero on padding slots).
+    All arrays are (nbuckets*nchunks*capacity,) in tile-packed order
+    (plan_tiles); vre/vim are the weighted visibility values (zero on
+    padding slots).
     """
-    nbuckets = ntx * nty
+    nbuckets = ntx * nty * nchunks
     blocks = pl.pallas_call(
         partial(_scatter_kernel, support=support, beta=beta, capacity=capacity),
         grid=(nbuckets,),
@@ -165,7 +181,7 @@ def pallas_scatter_grid(
     )(lu8, fu, fv, vre, vim)
 
     # overlap-add epilogue (tiles overlap only in their halo aprons)
-    blocks = blocks.reshape(ntx, nty, 2, ACC_U, ACC_V)
+    blocks = blocks.reshape(ntx, nty, nchunks, 2, ACC_U, ACC_V).sum(axis=2)
     strips = 0
     for ty in range(nty):
         pad = ((0, 0), (0, 0), (0, 0), (ty * TILE_V, (nty - 1 - ty) * TILE_V))
@@ -222,6 +238,7 @@ def vis2dirty_pallas(plan, tiles: dict, vis_re, vis_im, wgt=None, mask=None, int
         support=plan.support,
         beta=plan.beta,
         capacity=tiles["capacity"],
+        nchunks=tiles.get("nchunks", 1),
         ntx=tiles["ntx"],
         nty=tiles["nty"],
         nbig_x=plan.nbig_x,
