@@ -300,3 +300,174 @@ def vis2dirty_pallas(plan, tiles: dict, vis_re, vis_im, wgt=None, mask=None, int
         c = _plane_image(plan, grid_ri, p_arr)
         acc = c if acc is None else acc + c
     return _vis2dirty_finish(plan, acc)
+
+
+# ── w-stacked kernel: all planes in one pass ─────────────────────────
+
+
+def _scatter_kernel_wstack(
+    lu_ref, fu_ref, fv_ref, wl_ref, vre_ref, vim_ref, out_ref, *, support: int, beta: float, capacity: int,
+    nw: int, w0: float, dw: float, w_support: int
+):
+    """Evaluate each stencil once; accumulate into every w-plane grid with
+    its own w-kernel weight. Independent per-plane accumulators pipeline
+    the read-modify-writes."""
+    out_ref[...] = jnp.zeros_like(out_ref)
+    inv = 2.0 / support
+    winv = 2.0 / (w_support * dw)
+    row = jax.lax.broadcasted_iota(jnp.int32, (PAD_U, ACC_V), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (PAD_U, ACC_V), 1).astype(jnp.float32)
+
+    def es_v(x):
+        x2 = x * x
+        inside = x2 < 1.0
+        return jnp.where(inside, jnp.exp(beta * (jnp.sqrt(jnp.where(inside, 1.0 - x2, 0.0)) - 1.0)), 0.0)
+
+    def es_s(x):
+        x2 = x * x
+        safe = jnp.minimum(x2, 1.0)
+        return jnp.where(x2 < 1.0, jnp.exp(beta * (jnp.sqrt(1.0 - safe) - 1.0)), 0.0)
+
+    def body(i, _):
+        xu = (row - fu_ref[i]) * inv
+        xv = (col - fv_ref[i]) * inv
+        sten = es_v(xu) * es_v(xv)
+        lu = pl.multiple_of(lu_ref[i], 8)
+        wl = wl_ref[i]
+        for p in range(nw):
+            ww = es_s((wl - (w0 + p * dw)) * winv)
+            out_ref[0, p, 0, pl.ds(lu, PAD_U), :] += (vre_ref[i] * ww) * sten
+            out_ref[0, p, 1, pl.ds(lu, PAD_U), :] += (vim_ref[i] * ww) * sten
+        return 0
+
+    jax.lax.fori_loop(0, capacity, body, 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "support", "beta", "capacity", "nchunks", "ntx", "nty", "nbig_x", "nbig_y",
+        "nw", "w0", "dw", "w_support", "interpret",
+    ),
+)
+def pallas_scatter_grid_wstack(
+    lu8, fu, fv, wl, vre, vim, *,
+    support: int, beta: float, capacity: int, ntx: int, nty: int,
+    nbig_x: int, nbig_y: int, nw: int, w0: float, dw: float, w_support: int,
+    nchunks: int = 1, interpret: bool = False,
+):
+    """All-planes tiled scatter: returns (nw, 2, nbig_x, nbig_y).
+
+    VMEM per tile is nw * 2 * ACC_U * ACC_V * 4 bytes (~0.56 MB per plane
+    pair at the default tile) — callers should keep nw <= ~8 per invocation
+    and chunk larger plane counts.
+    """
+    nbuckets = ntx * nty * nchunks
+    blocks = pl.pallas_call(
+        partial(
+            _scatter_kernel_wstack, support=support, beta=beta, capacity=capacity,
+            nw=nw, w0=w0, dw=dw, w_support=w_support,
+        ),
+        grid=(nbuckets,),
+        in_specs=[
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # lu8
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # fu
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # fv
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # wl
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # vre
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),  # vim
+        ],
+        out_specs=pl.BlockSpec((1, nw, 2, ACC_U, ACC_V), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbuckets, nw, 2, ACC_U, ACC_V), jnp.float32),
+        interpret=interpret,
+    )(lu8, fu, fv, wl, vre, vim)
+
+    blocks = blocks.reshape(ntx, nty, nchunks, nw, 2, ACC_U, ACC_V).sum(axis=2)
+    strips = 0
+    for ty in range(nty):
+        pad = ((0, 0), (0, 0), (0, 0), (0, 0), (ty * TILE_V, (nty - 1 - ty) * TILE_V))
+        strips = strips + jnp.pad(blocks[:, ty], pad)
+    grid_full = 0
+    for tx in range(ntx):
+        pad = ((0, 0), (0, 0), (tx * TILE_U, (ntx - 1 - tx) * TILE_U), (0, 0))
+        grid_full = grid_full + jnp.pad(strips[tx], pad)
+    return grid_full[:, :, :nbig_x, :nbig_y]
+
+
+def vis2dirty_pallas_wstack(plan, tiles: dict, vis_re, vis_im, wgt=None, mask=None, interpret: bool = False):
+    """vis2dirty with the w-stacked Pallas scatter (one kernel pass for all
+    planes), plane-chunked to bound VMEM."""
+    from .gridder import _uv_stencil, _vis2dirty_finish, _vis2dirty_prepare, _w_weight
+
+    wv_ri = _vis2dirty_prepare(plan, vis_re, vis_im, wgt, mask)
+    nvis = plan.sort_idx.shape[0]
+
+    # packed values + w coords (plane-independent)
+    zpad = jnp.zeros(1, wv_ri.dtype)
+    vre_pad = jnp.concatenate([wv_ri[0], zpad])[tiles["pad_idx_dev"]]
+    vim_pad = jnp.concatenate([wv_ri[1], zpad])[tiles["pad_idx_dev"]]
+    wl_pad = jnp.concatenate([plan.w_lam[:nvis], zpad])[tiles["pad_idx_dev"]]
+
+    has_fallback = int(np.asarray(tiles["fb_valid"]).sum()) > 0
+
+    @jax.jit
+    def _fallback_grids(plan, wv_ri, p0_arr, nw_chunk_arr):
+        del nw_chunk_arr
+        idx = tiles["fb_idx_dev"]
+        iu, iv, ku, kv = _uv_stencil(plan, plan.u_pix[idx], plan.v_pix[idx])
+        kw2 = ku[:, :, None] * kv[:, None, :]
+
+        def one(p):
+            ww = _w_weight(plan, plan.w_lam[idx], p) * tiles["fb_valid"]
+            contrib = jnp.stack([wv_ri[0, idx] * ww, wv_ri[1, idx] * ww])[:, :, None, None] * kw2[None]
+            g = jnp.zeros((2, plan.nbig_x, plan.nbig_y), wv_ri.dtype)
+            return g.at[:, iu[:, :, None], iv[:, None, :]].add(contrib)
+
+        return one
+
+    @jax.jit
+    def _plane_image(plan, grid_ri, p_arr):
+        from .gridder import _crop_center
+
+        p = p_arr[0]
+        rdtype = plan.u_pix.dtype
+        grid = jax.lax.complex(grid_ri[0], grid_ri[1])
+        big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
+        bre = jnp.fft.fftshift(jnp.real(big))
+        bim = jnp.fft.fftshift(jnp.imag(big))
+        are = _crop_center(plan, bre)
+        aim = _crop_center(plan, bim)
+        if plan.do_wgridding:
+            wp = plan.w0 + p.astype(rdtype) * plan.dw
+            phase = (-2.0 * jnp.pi * wp) * plan.nm1
+            c, s = jnp.cos(phase), jnp.sin(phase)
+            return jnp.stack([are * c - aim * s, are * s + aim * c])
+        return jnp.stack([are, aim])
+
+    acc = None
+    pw = 8  # planes per kernel pass (VMEM bound)
+    for p0 in range(0, plan.nw, pw):
+        nw_chunk = min(pw, plan.nw - p0)
+        grids = pallas_scatter_grid_wstack(
+            tiles["lu8_dev"], tiles["fu_dev"], tiles["fv_dev"], wl_pad, vre_pad, vim_pad,
+            support=plan.support, beta=plan.beta, capacity=tiles["capacity"],
+            nchunks=tiles.get("nchunks", 1), ntx=tiles["ntx"], nty=tiles["nty"],
+            nbig_x=plan.nbig_x, nbig_y=plan.nbig_y,
+            nw=nw_chunk, w0=plan.w0 + p0 * plan.dw, dw=plan.dw, w_support=plan.w_support,
+            interpret=interpret,
+        )
+        for q in range(nw_chunk):
+            p_arr = jnp.asarray(np.asarray([p0 + q], np.int32))
+            grid_ri = grids[q]
+            if has_fallback:
+                from .gridder import _uv_stencil as _uvs  # noqa: F401
+
+                idx = tiles["fb_idx_dev"]
+                ww = _w_weight(plan, plan.w_lam[idx], jnp.asarray(p0 + q)) * tiles["fb_valid"]
+                iu, iv, ku, kv = _uv_stencil(plan, plan.u_pix[idx], plan.v_pix[idx])
+                kw2 = ku[:, :, None] * kv[:, None, :]
+                contrib = jnp.stack([wv_ri[0, idx] * ww, wv_ri[1, idx] * ww])[:, :, None, None] * kw2[None]
+                grid_ri = grid_ri.at[:, iu[:, :, None], iv[:, None, :]].add(contrib)
+            c = _plane_image(plan, grid_ri, p_arr)
+            acc = c if acc is None else acc + c
+    return _vis2dirty_finish(plan, acc)
