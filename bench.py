@@ -77,25 +77,36 @@ def run_child(code: str, timeout_s: int):
 
 GRID_CODE = r"""
 from pfb_imaging_tpu.ops.gridder import plan_wgridder, vis2dirty_hostloop
+from pfb_imaging_tpu.ops.gridder_pallas import plan_pallas, vis2dirty_pallas_wstack
 nrow, nchan, nx = 100_000, 4, 1024
-uvw = rng.uniform(-2000, 2000, (nrow, 3)); uvw[:, 2] *= 0.01
+uvw = rng.uniform(-16000, 16000, (nrow, 3)); uvw[:, 2] *= 0.01
 freq = np.linspace(1e9, 1.1e9, nchan)
 plan = plan_wgridder(uvw, freq, nx=nx, ny=nx, cellx=8e-6, celly=8e-6, epsilon=1e-5,
                      do_wgridding=True, divide_by_n=False, dtype=np.float32)
 vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
 vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
 sc = jax.jit(lambda a, s: a * s[0])
-np.asarray(cks(vis2dirty_hostloop(plan, sc(vr, scal(1.0)), vis_im=vi)))  # compile+run
+# Pallas tiled-scatter path, XLA hostloop fallback
+try:
+    tiles = plan_pallas(plan)
+    grid_call = lambda i: vis2dirty_pallas_wstack(plan, tiles, sc(vr, scal(1.0 + 1e-6 * i)), vi)
+    kernel = "pallas_wstack"
+    np.asarray(cks(grid_call(0)))
+except Exception as e:
+    print("pallas path failed, falling back to XLA hostloop:", repr(e)[:200], file=sys.stderr)
+    grid_call = lambda i: vis2dirty_hostloop(plan, sc(vr, scal(1.0 + 1e-6 * i)), vis_im=vi)
+    kernel = "xla_hostloop"
+    np.asarray(cks(grid_call(0)))
 def chain():
     acc = None
     for i in range(NREP):
-        d = vis2dirty_hostloop(plan, sc(vr, scal(1.0 + 1e-6 * i)), vis_im=vi)
+        d = grid_call(i)
         acc = d if acc is None else acc + d
     return np.asarray(cks(acc))
 chain()
 t0 = time.time(); chain(); dt = (time.time() - t0) / NREP
-emit({"name": "wgridder_vis2dirty", "vis_per_sec": nrow * nchan / dt, "ms_per_call": dt * 1e3,
-      "nx": nx, "nvis": nrow * nchan, "nw": int(plan.nw)})
+emit({"name": "wgridder_vis2dirty", "kernel": kernel, "vis_per_sec": nrow * nchan / dt,
+      "ms_per_call": dt * 1e3, "nx": nx, "nvis": nrow * nchan, "nw": int(plan.nw)})
 """
 
 HESS_CODE = r"""
