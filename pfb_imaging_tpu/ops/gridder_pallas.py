@@ -471,3 +471,196 @@ def vis2dirty_pallas_wstack(plan, tiles: dict, vis_re, vis_im, wgt=None, mask=No
             c = _plane_image(plan, grid_ri, p_arr)
             acc = c if acc is None else acc + c
     return _vis2dirty_finish(plan, acc)
+
+
+# ── grouped kernel: register accumulation per aligned row-group ──────
+
+
+def add_group_flags(tiles: dict) -> dict:
+    """Sort each tile's slots by lu8 and mark group boundaries.
+
+    Within a tile bucket, visibilities sharing the same 8-aligned window
+    row accumulate in vector registers; one VMEM read-modify-write happens
+    per group (at the slot whose ``flush`` flag is set). Padding slots
+    carry zero values and flush=0 except the final slot.
+    """
+    cap = tiles["capacity"]
+    nslots = tiles["lu8"].size // cap
+    lu8 = tiles["lu8"].reshape(nslots, cap).copy()
+    fu = tiles["fu"].reshape(nslots, cap).copy()
+    fv = tiles["fv"].reshape(nslots, cap).copy()
+    pad_idx = tiles["pad_idx"].reshape(nslots, cap).copy()
+    flush = np.zeros((nslots, cap), np.int32)
+    nvis_sentinel = pad_idx.max()
+    for s in range(nslots):
+        valid = pad_idx[s] != nvis_sentinel
+        nv = int(valid.sum())
+        if nv:
+            order = np.argsort(lu8[s, :nv], kind="stable")
+            lu8[s, :nv] = lu8[s, order]
+            fu[s, :nv] = fu[s, order]
+            fv[s, :nv] = fv[s, order]
+            pad_idx[s, :nv] = pad_idx[s, order]
+            # flush when the next valid slot starts a new group
+            nxt = np.roll(lu8[s, :nv], -1)
+            flush[s, :nv] = (nxt != lu8[s, :nv]).astype(np.int32)
+            flush[s, nv - 1] = 1
+        # padding slots: lu8 already 0, values are zero — route their
+        # (empty) flush to slot capacity-1 of the padding group
+        if nv < cap:
+            flush[s, cap - 1] = 1
+            lu8[s, nv:] = lu8[s, nv - 1] if nv else 0
+    out = dict(tiles)
+    out["lu8"] = lu8.reshape(-1)
+    out["fu"] = fu.reshape(-1)
+    out["fv"] = fv.reshape(-1)
+    out["pad_idx"] = pad_idx.reshape(-1)
+    out["flush"] = flush.reshape(-1)
+    out["pad_idx_dev"] = jnp.asarray(out["pad_idx"])
+    out["lu8_dev"] = jnp.asarray(out["lu8"])
+    out["fu_dev"] = jnp.asarray(out["fu"].astype(np.float32))
+    out["fv_dev"] = jnp.asarray(out["fv"].astype(np.float32))
+    out["flush_dev"] = jnp.asarray(out["flush"])
+    return out
+
+
+def _scatter_kernel_grouped(lu_ref, fu_ref, fv_ref, flush_ref, vre_ref, vim_ref, out_ref, *, support: int, beta: float, capacity: int):
+    """Register-accumulated groups + separable stencil evaluation."""
+    out_ref[...] = jnp.zeros_like(out_ref)
+    inv = 2.0 / support
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (PAD_U, 1), 0).astype(jnp.float32)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (1, ACC_V), 1).astype(jnp.float32)
+
+    def es(x):
+        x2 = x * x
+        inside = x2 < 1.0
+        return jnp.where(inside, jnp.exp(beta * (jnp.sqrt(jnp.where(inside, 1.0 - x2, 0.0)) - 1.0)), 0.0)
+
+    def body(i, carry):
+        acc_re, acc_im = carry
+        ku = es((rowv - fu_ref[i]) * inv)  # (PAD_U, 1)
+        kv = es((colv - fv_ref[i]) * inv)  # (1, ACC_V)
+        sten = ku * kv
+        acc_re = acc_re + vre_ref[i] * sten
+        acc_im = acc_im + vim_ref[i] * sten
+        do_flush = flush_ref[i] == 1
+
+        @pl.when(do_flush)
+        def _():
+            lu = pl.multiple_of(lu_ref[i], 8)
+            out_ref[0, 0, pl.ds(lu, PAD_U), :] += acc_re
+            out_ref[0, 1, pl.ds(lu, PAD_U), :] += acc_im
+
+        zero = jnp.zeros_like(acc_re)
+        acc_re = jnp.where(do_flush, zero, acc_re)
+        acc_im = jnp.where(do_flush, zero, acc_im)
+        return acc_re, acc_im
+
+    z = jnp.zeros((PAD_U, ACC_V), jnp.float32)
+    jax.lax.fori_loop(0, capacity, body, (z, z))
+
+
+@partial(jax.jit, static_argnames=("support", "beta", "capacity", "nchunks", "ntx", "nty", "nbig_x", "nbig_y", "interpret"))
+def pallas_scatter_grid_grouped(
+    lu8, fu, fv, flush, vre, vim, *,
+    support: int, beta: float, capacity: int, ntx: int, nty: int,
+    nbig_x: int, nbig_y: int, nchunks: int = 1, interpret: bool = False,
+):
+    """Grouped tiled scatter; returns the (2, nbig_x, nbig_y) grid."""
+    nbuckets = ntx * nty * nchunks
+    blocks = pl.pallas_call(
+        partial(_scatter_kernel_grouped, support=support, beta=beta, capacity=capacity),
+        grid=(nbuckets,),
+        in_specs=[
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, ACC_U, ACC_V), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbuckets, 2, ACC_U, ACC_V), jnp.float32),
+        interpret=interpret,
+    )(lu8, fu, fv, flush, vre, vim)
+
+    blocks = blocks.reshape(ntx, nty, nchunks, 2, ACC_U, ACC_V).sum(axis=2)
+    strips = 0
+    for ty in range(nty):
+        pad = ((0, 0), (0, 0), (0, 0), (ty * TILE_V, (nty - 1 - ty) * TILE_V))
+        strips = strips + jnp.pad(blocks[:, ty], pad)
+    grid_full = 0
+    for tx in range(ntx):
+        pad = ((0, 0), (tx * TILE_U, (ntx - 1 - tx) * TILE_U), (0, 0))
+        grid_full = grid_full + jnp.pad(strips[tx], pad)
+    return grid_full[:, :nbig_x, :nbig_y]
+
+
+def vis2dirty_pallas_grouped(plan, tiles: dict, vis_re, vis_im, wgt=None, mask=None, interpret: bool = False):
+    """vis2dirty with the grouped Pallas scatter (per-plane host loop).
+
+    ``tiles`` must come from plan_pallas + add_group_flags.
+    """
+    from .gridder import _uv_stencil, _vis2dirty_finish, _vis2dirty_prepare, _w_weight
+
+    wv_ri = _vis2dirty_prepare(plan, vis_re, vis_im, wgt, mask)
+    nvis = plan.sort_idx.shape[0]
+    kw = dict(
+        support=plan.support, beta=plan.beta, capacity=tiles["capacity"],
+        nchunks=tiles.get("nchunks", 1), ntx=tiles["ntx"], nty=tiles["nty"],
+        nbig_x=plan.nbig_x, nbig_y=plan.nbig_y, interpret=interpret,
+    )
+    has_fallback = int(np.asarray(tiles["fb_valid"]).sum()) > 0
+
+    @jax.jit
+    def _plane_vals(plan, wv_ri, p_arr):
+        p = p_arr[0]
+        ww = _w_weight(plan, plan.w_lam[:nvis], p)
+        vre = jnp.concatenate([wv_ri[0] * ww, jnp.zeros(1, wv_ri.dtype)])
+        vim = jnp.concatenate([wv_ri[1] * ww, jnp.zeros(1, wv_ri.dtype)])
+        return vre[tiles["pad_idx_dev"]], vim[tiles["pad_idx_dev"]]
+
+    @jax.jit
+    def _plane_image(plan, grid_ri, p_arr):
+        from .gridder import _crop_center
+
+        p = p_arr[0]
+        rdtype = plan.u_pix.dtype
+        grid = jax.lax.complex(grid_ri[0], grid_ri[1])
+        big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
+        bre = jnp.fft.fftshift(jnp.real(big))
+        bim = jnp.fft.fftshift(jnp.imag(big))
+        are = _crop_center(plan, bre)
+        aim = _crop_center(plan, bim)
+        if plan.do_wgridding:
+            wp = plan.w0 + p.astype(rdtype) * plan.dw
+            phase = (-2.0 * jnp.pi * wp) * plan.nm1
+            c, s = jnp.cos(phase), jnp.sin(phase)
+            return jnp.stack([are * c - aim * s, are * s + aim * c])
+        return jnp.stack([are, aim])
+
+    @jax.jit
+    def _fallback_grid(plan, wv_ri, p_arr):
+        p = p_arr[0]
+        idx = tiles["fb_idx_dev"]
+        ww = _w_weight(plan, plan.w_lam[idx], p) * tiles["fb_valid"]
+        vre = wv_ri[0, idx] * ww
+        vim = wv_ri[1, idx] * ww
+        iu, iv, ku, kv = _uv_stencil(plan, plan.u_pix[idx], plan.v_pix[idx])
+        kw2 = ku[:, :, None] * kv[:, None, :]
+        contrib = jnp.stack([vre, vim])[:, :, None, None] * kw2[None]
+        g = jnp.zeros((2, plan.nbig_x, plan.nbig_y), wv_ri.dtype)
+        return g.at[:, iu[:, :, None], iv[:, None, :]].add(contrib)
+
+    acc = None
+    for p in range(plan.nw):
+        p_arr = jnp.asarray(np.asarray([p], np.int32))
+        vre, vim = _plane_vals(plan, wv_ri, p_arr)
+        grid_ri = pallas_scatter_grid_grouped(
+            tiles["lu8_dev"], tiles["fu_dev"], tiles["fv_dev"], tiles["flush_dev"], vre, vim, **kw
+        )
+        if has_fallback:
+            grid_ri = grid_ri + _fallback_grid(plan, wv_ri, p_arr)
+        c = _plane_image(plan, grid_ri, p_arr)
+        acc = c if acc is None else acc + c
+    return _vis2dirty_finish(plan, acc)

@@ -134,3 +134,35 @@ def test_vis2dirty_pallas_wstack_matches_hostloop():
     ref = np.asarray(vis2dirty_hostloop(plan, vre, vis_im=vim))
     out = np.asarray(vis2dirty_pallas_wstack(plan, tiles, vre, vim, interpret=True))
     np.testing.assert_allclose(out, ref, atol=5e-5 * np.abs(ref).max())
+
+
+def test_vis2dirty_pallas_grouped_matches_hostloop():
+    import itertools
+
+    import jax.numpy as jnp
+
+    from pfb_imaging_tpu.ops.gridder import plan_wgridder, vis2dirty_hostloop
+    from pfb_imaging_tpu.ops.gridder_pallas import add_group_flags, plan_pallas, vis2dirty_pallas_grouped
+
+    rng = np.random.RandomState(3)
+    a1, a2 = np.asarray(list(itertools.combinations(range(14), 2))).T
+    antennas = 8e3 * rng.normal(size=(14, 3))
+    antennas[:, 2] *= 0.03
+    uvw = antennas[a1] - antennas[a2]
+    freq = np.linspace(0.9e9, 1.1e9, 2)
+    nx = 128
+    cell = 2.5e-5 / 2
+
+    plan = plan_wgridder(
+        uvw, freq, nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-5,
+        do_wgridding=True, divide_by_n=False, dtype=np.float32,
+    )
+    tiles = add_group_flags(plan_pallas(plan))
+    r2 = np.random.default_rng(1)
+    nrow, nchan = uvw.shape[0], freq.size
+    vre = jnp.asarray(r2.standard_normal((nrow, nchan)).astype(np.float32))
+    vim = jnp.asarray(r2.standard_normal((nrow, nchan)).astype(np.float32))
+
+    ref = np.asarray(vis2dirty_hostloop(plan, vre, vis_im=vim))
+    out = np.asarray(vis2dirty_pallas_grouped(plan, tiles, vre, vim, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-5 * np.abs(ref).max())
