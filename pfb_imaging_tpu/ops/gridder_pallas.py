@@ -664,3 +664,156 @@ def vis2dirty_pallas_grouped(plan, tiles: dict, vis_re, vis_im, wgt=None, mask=N
         c = _plane_image(plan, grid_ri, p_arr)
         acc = c if acc is None else acc + c
     return _vis2dirty_finish(plan, acc)
+
+
+# ── gather (degrid) kernel ───────────────────────────────────────────
+
+
+def _gather_kernel(lu_ref, fu_ref, fv_ref, grid_ref, outre_ref, outim_ref, scratch_ref, sem, *, support: int, beta: float, capacity: int, nty: int, nchunks: int):
+    """One tile: DMA the tile+halo grid block to VMEM, then for each
+    visibility evaluate its separable ES stencil over the aligned window
+    and reduce the weighted sum to a scalar.
+
+    The halo blocks OVERLAP (stride TILE, extent ACC), which BlockSpec
+    cannot express — the grid stays in ANY/HBM and the kernel DMAs its
+    own block at explicit offsets."""
+    t = pl.program_id(0)
+    b = t // nchunks
+    tx = b // nty
+    ty = b % nty
+
+    copy = pltpu.make_async_copy(
+        grid_ref.at[:, pl.ds(tx * TILE_U, ACC_U), pl.ds(ty * TILE_V, ACC_V)],
+        scratch_ref,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    inv = 2.0 / support
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (PAD_U, 1), 0).astype(jnp.float32)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (1, ACC_V), 1).astype(jnp.float32)
+
+    def es(x):
+        x2 = x * x
+        inside = x2 < 1.0
+        return jnp.where(inside, jnp.exp(beta * (jnp.sqrt(jnp.where(inside, 1.0 - x2, 0.0)) - 1.0)), 0.0)
+
+    def body(i, _):
+        ku = es((rowv - fu_ref[i]) * inv)
+        kv = es((colv - fv_ref[i]) * inv)
+        sten = ku * kv
+        lu = pl.multiple_of(lu_ref[i], 8)
+        wre = scratch_ref[0, pl.ds(lu, PAD_U), :]
+        wim = scratch_ref[1, pl.ds(lu, PAD_U), :]
+        outre_ref[i] = jnp.sum(wre * sten)
+        outim_ref[i] = jnp.sum(wim * sten)
+        return 0
+
+    jax.lax.fori_loop(0, capacity, body, 0)
+
+
+@partial(jax.jit, static_argnames=("support", "beta", "capacity", "nchunks", "ntx", "nty", "nbig_x", "nbig_y", "interpret"))
+def pallas_gather_grid(
+    lu8, fu, fv, grid_ri, *,
+    support: int, beta: float, capacity: int, ntx: int, nty: int,
+    nbig_x: int, nbig_y: int, nchunks: int = 1, interpret: bool = False,
+):
+    """Tiled gather: per-slot (re, im) samples of grid_ri (2, nbig, nbig).
+
+    The grid is pre-padded by the tile apron so every tile's block load is
+    in bounds.
+    """
+    nbuckets = ntx * nty * nchunks
+    # pad the grid so block (tx, ty) can always load (2, ACC_U, ACC_V)
+    gpad = jnp.pad(grid_ri, ((0, 0), (0, ntx * TILE_U + PAD_U - nbig_x), (0, nty * TILE_V + PAD_V - nbig_y)))
+
+    outre, outim = pl.pallas_call(
+        partial(_gather_kernel, support=support, beta=beta, capacity=capacity, nty=nty, nchunks=nchunks),
+        grid=(nbuckets,),
+        in_specs=[
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded grid; kernel DMAs its block
+        ],
+        out_specs=(
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((capacity,), lambda t: (t,), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nbuckets * capacity,), jnp.float32),
+            jax.ShapeDtypeStruct((nbuckets * capacity,), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, ACC_U, ACC_V), jnp.float32), pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(lu8, fu, fv, gpad)
+    return outre, outim
+
+
+def dirty2vis_pallas(plan, tiles: dict, image, mask=None, split: bool = False, interpret: bool = False):
+    """dirty2vis with the Pallas gather core (per-plane host loop).
+
+    Numerically identical to ops.gridder.dirty2vis_hostloop.
+    """
+    from .gridder import _dirty2vis_finish_ri, _pad_center, _crop_center, _uv_stencil, _w_weight  # noqa: F401
+
+    ieff = image.astype(plan.u_pix.dtype) * plan.corr_img * plan.cw_img
+    nvis = plan.sort_idx.shape[0]
+    has_fallback = int(np.asarray(tiles["fb_valid"]).sum()) > 0
+
+    @jax.jit
+    def _plane_grid(plan, ieff, p_arr):
+        p = p_arr[0]
+        rdtype = plan.u_pix.dtype
+        if plan.do_wgridding:
+            wp = plan.w0 + p.astype(rdtype) * plan.dw
+            phase = (2.0 * jnp.pi * wp) * plan.nm1
+            are = _pad_center(plan, ieff * jnp.cos(phase))
+            aim = _pad_center(plan, ieff * jnp.sin(phase))
+        else:
+            are = _pad_center(plan, ieff)
+            aim = jnp.zeros_like(are)
+        a = jax.lax.complex(jnp.fft.ifftshift(are), jnp.fft.ifftshift(aim))
+        grid = jnp.fft.fft2(a)
+        return jnp.stack([jnp.real(grid), jnp.imag(grid)])
+
+    @jax.jit
+    def _accumulate(plan, packed_re, packed_im, p_arr, acc):
+        """Unpack tile order -> sorted-stream order, apply w-weight, add."""
+        p = p_arr[0]
+        ww = _w_weight(plan, plan.w_lam[:nvis], p)
+        out = jnp.zeros((2, nvis + 1), packed_re.dtype)
+        out = out.at[0, tiles["pad_idx_dev"]].add(packed_re)
+        out = out.at[1, tiles["pad_idx_dev"]].add(packed_im)
+        return acc + out[:, :nvis] * ww[None]
+
+    @jax.jit
+    def _fallback_vals(plan, grid_ri, p_arr):
+        p = p_arr[0]
+        idx = tiles["fb_idx_dev"]
+        ww = _w_weight(plan, plan.w_lam[idx], p) * tiles["fb_valid"]
+        iu, iv, ku, kv = _uv_stencil(plan, plan.u_pix[idx], plan.v_pix[idx])
+        g = grid_ri[:, iu[:, :, None], iv[:, None, :]]
+        kw2 = ku[:, :, None] * kv[:, None, :]
+        vals = jnp.sum(g * kw2[None], axis=(2, 3)) * ww[None]
+        return idx, vals
+
+    kw = dict(
+        support=plan.support, beta=plan.beta, capacity=tiles["capacity"],
+        nchunks=tiles.get("nchunks", 1), ntx=tiles["ntx"], nty=tiles["nty"],
+        nbig_x=plan.nbig_x, nbig_y=plan.nbig_y, interpret=interpret,
+    )
+    acc = jnp.zeros((2, nvis), jnp.float32)
+    for p in range(plan.nw):
+        p_arr = jnp.asarray(np.asarray([p], np.int32))
+        grid_ri = _plane_grid(plan, ieff, p_arr)
+        pre, pim = pallas_gather_grid(tiles["lu8_dev"], tiles["fu_dev"], tiles["fv_dev"], grid_ri, **kw)
+        acc = _accumulate(plan, pre, pim, p_arr, acc)
+        if has_fallback:
+            idx, vals = _fallback_vals(plan, grid_ri, p_arr)
+            acc = acc.at[:, idx].add(vals * tiles["fb_valid"][None])
+    out_ri = _dirty2vis_finish_ri(plan, acc, mask)
+    if split:
+        return out_ri
+    return jax.lax.complex(out_ri[0], out_ri[1])

@@ -166,3 +166,31 @@ def test_vis2dirty_pallas_grouped_matches_hostloop():
     ref = np.asarray(vis2dirty_hostloop(plan, vre, vis_im=vim))
     out = np.asarray(vis2dirty_pallas_grouped(plan, tiles, vre, vim, interpret=True))
     np.testing.assert_allclose(out, ref, atol=5e-5 * np.abs(ref).max())
+
+
+def test_dirty2vis_pallas_matches_hostloop():
+    import itertools
+
+    import jax.numpy as jnp
+
+    from pfb_imaging_tpu.ops.gridder import dirty2vis_hostloop, plan_wgridder
+    from pfb_imaging_tpu.ops.gridder_pallas import dirty2vis_pallas, plan_pallas
+
+    rng = np.random.RandomState(3)
+    a1, a2 = np.asarray(list(itertools.combinations(range(14), 2))).T
+    antennas = 8e3 * rng.normal(size=(14, 3))
+    antennas[:, 2] *= 0.03
+    uvw = antennas[a1] - antennas[a2]
+    freq = np.linspace(0.9e9, 1.1e9, 2)
+    nx = 128
+    cell = 2.5e-5 / 2
+
+    plan = plan_wgridder(
+        uvw, freq, nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-5,
+        do_wgridding=True, divide_by_n=False, dtype=np.float32,
+    )
+    tiles = plan_pallas(plan)
+    img = jnp.asarray(np.random.default_rng(1).standard_normal((nx, nx)).astype(np.float32))
+    ref = np.asarray(dirty2vis_hostloop(plan, img, split=True))
+    out = np.asarray(dirty2vis_pallas(plan, tiles, img, split=True, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-5 * np.abs(ref).max())
