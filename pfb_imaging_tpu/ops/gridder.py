@@ -566,6 +566,26 @@ def _vis2dirty_finish(plan: WGridderPlan, acc_ri):
     return acc_ri[0] * plan.corr_img * plan.cw_img
 
 
+@jax.jit
+def _vis2dirty_plane_image(plan: WGridderPlan, grid_ri, p_arr):
+    """Shared epilogue of every scatter backend: complexify, inverse FFT,
+    shift/crop, apply the plane's w-screen. Returns stacked (2, nx, ny)."""
+    rdtype = plan.u_pix.dtype
+    p = p_arr[0]
+    grid = jax.lax.complex(grid_ri[0], grid_ri[1])
+    big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
+    bre = jnp.fft.fftshift(jnp.real(big))
+    bim = jnp.fft.fftshift(jnp.imag(big))
+    are = _crop_center(plan, bre)
+    aim = _crop_center(plan, bim)
+    if plan.do_wgridding:
+        wp = plan.w0 + p.astype(rdtype) * plan.dw
+        phase = (-2.0 * jnp.pi * wp) * plan.nm1
+        c, s = jnp.cos(phase), jnp.sin(phase)
+        return jnp.stack([are * c - aim * s, are * s + aim * c])
+    return jnp.stack([are, aim])
+
+
 def vis2dirty_hostloop(plan: WGridderPlan, vis, wgt=None, mask=None, vis_im=None):
     """vis2dirty via the per-plane host loop (runtime-portable mode).
 
