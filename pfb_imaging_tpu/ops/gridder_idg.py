@@ -62,37 +62,47 @@ def plan_idg(plan: WGridderPlan, group_size: int = 128):
     v = np.mod(np.asarray(plan.v_pix[:nvis], np.float64), plan.nbig_y)
     W = plan.support
     half = S // 2
-    # bucket by half-subgrid cells
-    bu = (u // half).astype(np.int64)
-    bv = (v // half).astype(np.int64)
+    # DENSE half-subgrid lattice: every lattice cell is a group (mostly
+    # empty groups cost only cheap padded matmul work), so patch assembly
+    # is a pure overlap-add with NO scatter
+    nbu = int(np.ceil(plan.nbig_x / half))
     nbv = int(np.ceil(plan.nbig_y / half))
+    bu = np.minimum((u // half).astype(np.int64), nbu - 1)
+    bv = np.minimum((v // half).astype(np.int64), nbv - 1)
     bid = bu * nbv + bv
     order = np.argsort(bid, kind="stable")
     bid_s = bid[order]
-    # group boundaries
-    uniq, starts = np.unique(bid_s, return_index=True)
-    ends = np.append(starts[1:], bid_s.size)
-
-    groups = []
-    for b, s0, e0 in zip(uniq, starts, ends):
-        for c0 in range(s0, e0, group_size):
-            groups.append((b, order[c0 : min(c0 + group_size, e0)]))
-    ng = len(groups)
-
-    vis_idx = np.full((ng, group_size), nvis, np.int64)
-    k0u = np.zeros(ng, np.int64)
-    k0v = np.zeros(ng, np.int64)
-    du = np.zeros((ng, group_size), np.float32)
-    dv = np.zeros((ng, group_size), np.float32)
-    for g, (b, sel) in enumerate(groups):
+    nbuckets = nbu * nbv
+    starts = np.searchsorted(bid_s, np.arange(nbuckets), side="left")
+    ends = np.searchsorted(bid_s, np.arange(nbuckets), side="right")
+    counts = ends - starts
+    cap = max(int(counts.max()), 1)
+    # chunk overloaded buckets into repeats of the group capacity
+    nchunks = max(int(np.ceil(cap / group_size)), 1)
+    ng = nbuckets * nchunks
+    vis_idx = np.full((nbuckets, nchunks, group_size), nvis, np.int64)
+    du = np.zeros((nbuckets, nchunks, group_size), np.float32)
+    dv = np.zeros((nbuckets, nchunks, group_size), np.float32)
+    k0u_b = (np.arange(nbu) * half - (S - half) // 2).astype(np.int64)
+    k0v_b = (np.arange(nbv) * half - (S - half) // 2).astype(np.int64)
+    for b in range(nbuckets):
+        sel = order[starts[b] : ends[b]]
+        if sel.size == 0:
+            continue
         bu_g, bv_g = b // nbv, b % nbv
-        # patch origin: bucket cell start minus margin so the whole
-        # support window [u - W/2, u + W/2] lies within [k0, k0 + S)
-        k0u[g] = bu_g * half - (S - half) // 2
-        k0v[g] = bv_g * half - (S - half) // 2
-        vis_idx[g, : sel.size] = sel
-        du[g, : sel.size] = u[sel] - k0u[g]
-        dv[g, : sel.size] = v[sel] - k0v[g]
+        du_all = u[sel] - k0u_b[bu_g]
+        dv_all = v[sel] - k0v_b[bv_g]
+        for ch in range(nchunks):
+            piece = slice(ch * group_size, (ch + 1) * group_size)
+            c = sel[piece].size
+            if c == 0:
+                break
+            vis_idx[b, ch, :c] = sel[piece]
+            du[b, ch, :c] = du_all[piece]
+            dv[b, ch, :c] = dv_all[piece]
+    vis_idx = vis_idx.reshape(ng, group_size)
+    du = du.reshape(ng, group_size)
+    dv = dv.reshape(ng, group_size)
 
     # kernel subgrid image response: the EXACT ES image response k_hat
     # evaluated on centred subgrid pixels (quadrature), in FFT order. The
@@ -115,14 +125,16 @@ def plan_idg(plan: WGridderPlan, group_size: int = 128):
     cimg = np.outer(c1d, c1d)
 
     return dict(
-        vis_idx=jnp.asarray(np.where(vis_idx >= nvis, nvis, vis_idx).astype(np.int32)),
-        k0u=jnp.asarray(k0u.astype(np.int32)),
-        k0v=jnp.asarray(k0v.astype(np.int32)),
+        vis_idx=jnp.asarray(vis_idx.astype(np.int32)),
         du=jnp.asarray(du),
         dv=jnp.asarray(dv),
         cimg=jnp.asarray(cimg.astype(np.float32)),
         ngroups=ng,
         group_size=group_size,
+        nbu=nbu,
+        nbv=nbv,
+        nchunks=nchunks,
+        k0_off=(S - half) // 2,
     )
 
 
@@ -170,22 +182,42 @@ def _idg_patches(idg: dict, vre_ext, vim_ext):
     return jnp.real(patch), jnp.imag(patch)
 
 
-@partial(jax.jit, static_argnames=("nbig_x", "nbig_y"))
-def _idg_assemble(k0u, k0v, patch_re, patch_im, nbig_x: int, nbig_y: int):
-    """Accumulate patches onto the big grid (wrapped indices, scatter-add)."""
-    ng = patch_re.shape[0]
-    iu = jnp.mod(k0u[:, None] + jnp.arange(S)[None, :], nbig_x)  # (ng, S)
-    iv = jnp.mod(k0v[:, None] + jnp.arange(S)[None, :], nbig_y)
-    grid = jnp.zeros((2, nbig_x, nbig_y), patch_re.dtype)
-    vals = jnp.stack([patch_re, patch_im])  # (2, ng, S, S)
-    return grid.at[:, iu[:, :, None], iv[:, None, :]].add(jnp.moveaxis(vals, 0, 0))
+@partial(jax.jit, static_argnames=("nbu", "nbv", "nchunks", "k0_off", "nbig_x", "nbig_y"))
+def _idg_assemble(patch_re, patch_im, nbu: int, nbv: int, nchunks: int, k0_off: int, nbig_x: int, nbig_y: int):
+    """Dense overlap-add of the lattice patches (no scatter).
+
+    Patches sit at stride S/2 with extent S: split each patch into 2x2
+    half-blocks; half-block (a, b) of lattice cell (i, j) lands at cell
+    (i + a, j + b) of the output lattice — four dense placements summed.
+    """
+    half = S // 2
+    vals = jnp.stack([patch_re, patch_im]).reshape(2, nbu, nbv, nchunks, S, S).sum(axis=3)
+    out = jnp.zeros((2, (nbu + 1) * half, (nbv + 1) * half), vals.dtype)
+    for a in range(2):
+        for b in range(2):
+            blk = vals[:, :, :, a * half : (a + 1) * half, b * half : (b + 1) * half]
+            dense = blk.transpose(0, 1, 3, 2, 4).reshape(2, nbu * half, nbv * half)
+            out = out.at[:, a * half : a * half + nbu * half, b * half : b * half + nbv * half].add(dense)
+    # undo the patch-origin offset and wrap onto the grid
+    out = jnp.roll(out, (-k0_off, -k0_off), axis=(1, 2))
+    # fold the overhang back periodically
+    main = out[:, :nbig_x, :nbig_y]
+    over_u = out[:, nbig_x:, :nbig_y]
+    main = main.at[:, : over_u.shape[1], :].add(over_u)
+    over_v = out[:, :nbig_x, nbig_y:]
+    main = main.at[:, :, : over_v.shape[2]].add(over_v)
+    corner = out[:, nbig_x:, nbig_y:]
+    main = main.at[:, : corner.shape[1], : corner.shape[2]].add(corner)
+    return main
 
 
 def idg_scatter_grid(plan: WGridderPlan, idg: dict, vre_sorted, vim_sorted):
     """(2, nbig, nbig) grid from sorted-stream weighted values via IDG."""
     z = jnp.zeros(1, vre_sorted.dtype)
     pre, pim = _idg_patches(idg, jnp.concatenate([vre_sorted, z]), jnp.concatenate([vim_sorted, z]))
-    return _idg_assemble(idg["k0u"], idg["k0v"], pre, pim, plan.nbig_x, plan.nbig_y)
+    return _idg_assemble(
+        pre, pim, idg["nbu"], idg["nbv"], idg["nchunks"], idg["k0_off"], plan.nbig_x, plan.nbig_y
+    )
 
 
 def vis2dirty_idg(plan: WGridderPlan, idg: dict, vis_re, vis_im, wgt=None, mask=None):
