@@ -43,6 +43,42 @@ import jax.numpy as jnp
 from .gridder import WGridderPlan, es_kernel
 
 S = 32  # subgrid size (must be >= 2 * support + bucket spread)
+_TAPER_CACHE: dict = {}
+
+
+def _fit_taper(support: int, beta: float) -> np.ndarray:
+    """Least-squares subgrid taper: the patch response at image coordinate
+    xi for a visibility at offset du is linear in the taper c; fit c so
+    that response == k_hat_ES(xi) * e^{2 pi i du xi} over the image band
+    (|xi| <= 0.26) and the full bucket offset spread. ~3e-4 worst-case
+    identity error at S=32 (vs 3e-3 for a windowed-ES taper)."""
+    key = (S, support, round(beta, 6))
+    if key in _TAPER_CACHE:
+        return _TAPER_CACHE[key]
+    from .gridder import _kernel_ft
+
+    half = S // 2
+    xc = np.fft.fftfreq(S) * S
+    ks = np.arange(S)
+    F = np.exp(-2j * np.pi * np.outer(ks, np.arange(S)) / S)
+    dus = np.linspace(half - 7.5, half + 7.5, 31)
+    xis = np.linspace(-0.26, 0.26, 53)
+    rows, tgt = [], []
+    for xi in xis:
+        kt = _kernel_ft(np.array([xi]), support, beta)[0]
+        w = np.exp(2j * np.pi * ks * xi)
+        wF = w @ F
+        for du in dus:
+            svec = np.exp(2j * np.pi * xc * du / S)
+            rows.append((wF * svec) * np.exp(-2j * np.pi * du * xi))
+            tgt.append(kt)
+    arows = np.array(rows)
+    tv = np.array(tgt)
+    mmat = np.concatenate([arows.real, arows.imag])
+    yvec = np.concatenate([tv.real, np.zeros_like(tv.real)])
+    c_fit, *_ = np.linalg.lstsq(mmat, yvec, rcond=None)
+    _TAPER_CACHE[key] = c_fit
+    return c_fit
 
 
 def plan_idg(plan: WGridderPlan, group_size: int = 128):
@@ -104,24 +140,11 @@ def plan_idg(plan: WGridderPlan, group_size: int = 128):
     du = du.reshape(ng, group_size)
     dv = dv.reshape(ng, group_size)
 
-    # kernel subgrid image response: the EXACT ES image response k_hat
-    # evaluated on centred subgrid pixels (quadrature), in FFT order. The
-    # effective gridding kernel is then the bandlimited interpolant whose
-    # image response IS k_hat — it grids exactly (no aliasing inside the
-    # band) under the plan's existing ES correction, up to the patch
-    # truncation of its Dirichlet tails (~k_hat at Nyquist ~ epsilon).
-    from .gridder import _kernel_ft
-
-    xc = np.fft.fftfreq(S) * S  # centred pixel offsets in FFT order
-    c1d = _kernel_ft(xc / S, W, plan.beta) / S
-    # roll the taper smoothly to zero outside the image band (the big
-    # image's correction only samples |x| <= S/4): the effective kernel
-    # then decays fast and the patch truncation error vanishes, while the
-    # in-band response (and hence the existing ES correction) is untouched
-    ax = np.abs(xc)
-    r0, r1 = S / 4 + 1.0, S / 2 - 1.0
-    t = np.clip((ax - r0) / (r1 - r0), 0.0, 1.0)
-    c1d = c1d * (0.5 * (1.0 + np.cos(np.pi * t)))
+    # subgrid taper: least-squares fit so the patch's measured response
+    # matches the ES kernel's k_hat over the image band for every offset in
+    # the bucket spread (the "optimal kernel" idea of the IDG literature).
+    # One (n_samples x S) real lstsq at plan time.
+    c1d = _fit_taper(W, plan.beta)
     cimg = np.outer(c1d, c1d)
 
     return dict(

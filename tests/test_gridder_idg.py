@@ -36,10 +36,10 @@ def test_idg_matches_dft():
     )
     oracle = np.asarray(vis2dirty_dft(uvw, freq, jnp.asarray(vis), wgt=jnp.asarray(wgt), **kw))
     err = np.abs(out - oracle).max() / np.abs(oracle).max()
-    # prototype accuracy: the finite-patch Dirichlet leakage floors at
-    # ~2e-3 with the windowed ES taper; the least-squares-optimal taper of
-    # the IDG literature is the round-2 completion step (docs/perf.md)
-    assert err < 5e-3, f"IDG vs DFT rel err {err}"
+    # least-squares taper: ~3e-4 worst-case identity error at S=32; a
+    # larger margin (S=40-48 at the same bucket size) buys epsilon-grade
+    # accuracy when needed
+    assert err < 1e-3, f"IDG vs DFT rel err {err}"
 
     # sanity: the scatter path at the same epsilon
     scatter = np.asarray(vis2dirty(plan, jnp.asarray(vis), wgt=jnp.asarray(wgt)))
