@@ -169,18 +169,27 @@ def _idg_patches(idg: dict, vre_ext, vim_ext):
     The pixel axis uses CENTRED offsets in FFT order so the subsequent
     fft2 implements the symmetric trig interpolation.
     """
-    x = jnp.asarray(np.fft.fftfreq(S) * S)[:, None]  # centred, FFT order
+    # centred pixel offsets in FFT order: x = [0, 1, .., S/2-1, -S/2, .., -1]
+    xs = np.fft.fftfreq(S) * S
+
+    def _powers(theta):
+        """(S, G) matrix e^{i theta x} for x in FFT order via one cos/sin
+        per visibility + cumulative rotation (transcendental count G, not
+        S*G — the trig was the measured hot spot on TPU)."""
+        w = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))  # (G,)
+        up = jnp.cumprod(jnp.broadcast_to(w[None, :], (S // 2, theta.shape[0])), axis=0)  # w^1..w^{S/2}
+        ones = jnp.ones_like(w)[None]
+        pos = jnp.concatenate([ones, up[: S // 2 - 1]], axis=0)  # w^0..w^{S/2-1}
+        neg = jnp.conj(up[::-1])  # w^{-S/2}..w^{-1}
+        return jnp.concatenate([pos, neg], axis=0)  # FFT order
 
     def one_group(vis_idx, du, dv):
         vr = vre_ext[vis_idx]  # (G,)
         vi = vim_ext[vis_idx]
-        # phase per pixel-offset pair: e^{2 pi i x du / S}; build the two
-        # 1D factor matrices (S, G) and combine via einsum so the heavy
-        # contraction is a matmul over the group axis
-        au = 2.0 * jnp.pi * x * du[None, :] / S  # (S, G)
-        av = 2.0 * jnp.pi * x * dv[None, :] / S
-        cu, su_ = jnp.cos(au), jnp.sin(au)
-        cv, sv_ = jnp.cos(av), jnp.sin(av)
+        eu = _powers(2.0 * jnp.pi * du / S)  # (S, G) complex
+        ev = _powers(2.0 * jnp.pi * dv / S)
+        cu, su_ = jnp.real(eu), jnp.imag(eu)
+        cv, sv_ = jnp.real(ev), jnp.imag(ev)
         # e^{i(au+av)} * (vr + i vi), accumulated over the group:
         # re = sum vr*(cu cv - su sv) - vi*(su cv + cu sv)
         # im = sum vr*(su cv + cu sv) + vi*(cu cv - su sv)
