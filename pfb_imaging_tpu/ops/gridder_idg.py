@@ -61,8 +61,8 @@ def _fit_taper(support: int, beta: float) -> np.ndarray:
     xc = np.fft.fftfreq(S) * S
     ks = np.arange(S)
     F = np.exp(-2j * np.pi * np.outer(ks, np.arange(S)) / S)
-    dus = np.linspace(half - 7.5, half + 7.5, 31)
-    xis = np.linspace(-0.26, 0.26, 53)
+    dus = np.linspace(half - 8.3, half + 8.3, 35)
+    xis = np.linspace(-0.27, 0.27, 55)
     rows, tgt = [], []
     for xi in xis:
         kt = _kernel_ft(np.array([xi]), support, beta)[0]
