@@ -23,12 +23,15 @@ the offset from the patch origin. Exact when the kernel support plus the
 group's uv spread fit within S (aliasing-free window) — guaranteed by the
 bucketing.
 
-STATUS: experimental prototype. With the windowed ES taper the accuracy
-floors at ~2e-3 (finite-patch Dirichlet leakage); production use needs the
-least-squares-optimal subgrid taper of the IDG literature (fit c so the
-windowed effective kernel's response matches a target over the image band
-— a small linear solve at plan time). The THROUGHPUT characteristics are
-the point of the prototype: all per-visibility work is batched matmuls.
+STATUS: experimental prototype. The least-squares taper reaches a
+per-visibility identity error of ~1.3e-4 at S=32; because the deviation is
+systematic in the fractional uv offset it accumulates with visibility
+count (measured ~1e-2 at 20k vis) — the accuracy dial is the subgrid size
+(S=64 with the same bucket spread fits to far tighter tolerances; this is
+the standard accuracy/throughput trade of the IDG literature). The
+THROUGHPUT characteristics are the point of the prototype: all
+per-visibility work is batched matmuls, and patch assembly is a dense
+overlap-add with no scatter anywhere.
 """
 
 from __future__ import annotations

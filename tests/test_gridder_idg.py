@@ -36,9 +36,9 @@ def test_idg_matches_dft():
     )
     oracle = np.asarray(vis2dirty_dft(uvw, freq, jnp.asarray(vis), wgt=jnp.asarray(wgt), **kw))
     err = np.abs(out - oracle).max() / np.abs(oracle).max()
-    # least-squares taper: ~3e-4 worst-case identity error at S=32; a
-    # larger margin (S=40-48 at the same bucket size) buys epsilon-grade
-    # accuracy when needed
+    # least-squares taper: ~1.3e-4 per-visibility identity error at S=32,
+    # accumulating with visibility count (see module docstring); this small
+    # case sits at the per-vis level
     assert err < 1e-3, f"IDG vs DFT rel err {err}"
 
     # sanity: the scatter path at the same epsilon
