@@ -80,60 +80,44 @@ def main():
         stage_psi(rng)
 
 
-def _make_plan(rng, nrow, nchan, nx, epsilon=1e-5):
-    from pfb_imaging_tpu.ops.gridder import plan_wgridder
-
+def _coords(rng, nrow, nchan):
     uvw = rng.uniform(-16000, 16000, (nrow, 3))
     uvw[:, 2] *= 0.01
     freq = np.linspace(1e9, 1.1e9, nchan)
-    plan = plan_wgridder(
-        uvw,
-        freq,
-        nx=nx,
-        ny=nx,
-        cellx=8e-6 * 1024 / nx,
-        celly=8e-6 * 1024 / nx,
-        epsilon=epsilon,
-        do_wgridding=True,
-        divide_by_n=False,
-        dtype=np.float32,
-    )
-    return plan
+    return uvw, freq
+
+
+def _geom(nx):
+    return dict(nx=nx, ny=nx, cellx=8e-6 * 1024 / nx, celly=8e-6 * 1024 / nx)
 
 
 def stage_grid(rng):
     """Headline: vis2dirty throughput at 1024^2, 4M vis."""
     nrow, nchan, nx = 1_000_000, 4, 1024
-    plan = _make_plan(rng, nrow, nchan, nx)
+    uvw, freq = _coords(rng, nrow, nchan)
     vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
     vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
     sc = jax.jit(lambda a, s: a * s[0])
 
-    grid_call, kernel = None, None
+    grid_call, kernel, nbins = None, None, 0
     try:
         from pfb_imaging_tpu.ops.gridder_idg import plan_idg, vis2dirty_idg
 
-        idg = plan_idg(plan)
-        grid_call = lambda i: vis2dirty_idg(plan, idg, sc(vr, scal(1.0 + 1e-6 * i)), vi)  # noqa: E731
+        plan = plan_idg(uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32, **_geom(nx))
+        nbins = plan.nbins
+        grid_call = lambda i: vis2dirty_idg(plan, sc(vr, scal(1.0 + 1e-6 * i)), vis_im=vi)  # noqa: E731
         kernel = "idg"
         np.asarray(cks(grid_call(0)))
     except Exception as e:  # pragma: no cover - fallback ladder
         print("idg path failed:", repr(e)[:300], file=sys.stderr, flush=True)
         grid_call = None
     if grid_call is None:
-        try:
-            from pfb_imaging_tpu.ops.gridder_pallas import plan_pallas, vis2dirty_pallas_wstack
+        from pfb_imaging_tpu.ops.gridder import plan_wgridder, vis2dirty_hostloop
 
-            tiles = plan_pallas(plan)
-            grid_call = lambda i: vis2dirty_pallas_wstack(plan, tiles, sc(vr, scal(1.0 + 1e-6 * i)), vi)  # noqa: E731
-            kernel = "pallas_wstack"
-            np.asarray(cks(grid_call(0)))
-        except Exception as e:  # pragma: no cover
-            print("pallas path failed:", repr(e)[:300], file=sys.stderr, flush=True)
-            grid_call = None
-    if grid_call is None:
-        from pfb_imaging_tpu.ops.gridder import vis2dirty_hostloop
-
+        plan = plan_wgridder(
+            uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32, **_geom(nx)
+        )
+        nbins = plan.nw
         grid_call = lambda i: vis2dirty_hostloop(plan, sc(vr, scal(1.0 + 1e-6 * i)), vis_im=vi)  # noqa: E731
         kernel = "xla_hostloop"
         np.asarray(cks(grid_call(0)))
@@ -148,27 +132,46 @@ def stage_grid(rng):
             "ms_per_call": dt * 1e3,
             "nx": nx,
             "nvis": nrow * nchan,
-            "nw": int(plan.nw),
+            "nw": int(nbins),
         },
     )
+
+    # zero-gather group-layout variant (the production residual path)
+    if kernel == "idg":
+        try:
+            from pfb_imaging_tpu.ops.gridder_idg import _idg_prepare, vis2dirty_idg_grouped
+
+            vals0 = _idg_prepare(plan, vr, vi, None, None)
+            gcall = lambda i: vis2dirty_idg_grouped(plan, sc(vals0, scal(1.0 + 1e-6 * i)))  # noqa: E731
+            np.asarray(cks(gcall(0)))
+            dtg = timed_chain(gcall)
+            emit(
+                "gridder_grouped",
+                {"vis_per_sec": nrow * nchan / dtg, "ms_per_call": dtg * 1e3},
+            )
+        except Exception as e:  # pragma: no cover
+            print("grouped path failed:", repr(e)[:300], file=sys.stderr, flush=True)
 
 
 def stage_degrid(rng):
     nrow, nchan, nx = 1_000_000, 4, 1024
-    plan = _make_plan(rng, nrow, nchan, nx)
+    uvw, freq = _coords(rng, nrow, nchan)
     img = jnp.asarray(rng.standard_normal((nx, nx)).astype(np.float32))
     sc = jax.jit(lambda a, s: a * s[0])
     try:
         from pfb_imaging_tpu.ops.gridder_idg import dirty2vis_idg, plan_idg
 
-        idg = plan_idg(plan)
-        call = lambda i: dirty2vis_idg(plan, idg, sc(img, scal(1.0 + 1e-6 * i)), split=True)  # noqa: E731
+        plan = plan_idg(uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32, **_geom(nx))
+        call = lambda i: dirty2vis_idg(plan, sc(img, scal(1.0 + 1e-6 * i)), split=True)  # noqa: E731
         kernel = "idg"
         np.asarray(cks(call(0)))
     except Exception as e:
         print("idg degrid failed:", repr(e)[:300], file=sys.stderr, flush=True)
-        from pfb_imaging_tpu.ops.gridder import dirty2vis_hostloop
+        from pfb_imaging_tpu.ops.gridder import dirty2vis_hostloop, plan_wgridder
 
+        plan = plan_wgridder(
+            uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32, **_geom(nx)
+        )
         call = lambda i: dirty2vis_hostloop(plan, sc(img, scal(1.0 + 1e-6 * i)), split=True)  # noqa: E731
         kernel = "xla_hostloop"
         np.asarray(cks(call(0)))
