@@ -52,7 +52,7 @@ def deconv(
     double_precision: bool = True,
     hess_norm: float | None = None,
     opts_extra: dict | None = None,
-    use_mesh: bool = False,
+    use_mesh: bool = True,
 ):
     """Run the major cycle in place on the tree. Returns (model, residual)."""
     import jax.numpy as jnp
