@@ -26,6 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 OUT_PATH = sys.argv[1]
 STAGES = sys.argv[2].split(",") if len(sys.argv) > 2 else ["grid", "hess", "psi"]
+STAGES = [s for s in STAGES if s]
 NREP = int(os.environ.get("BENCH_NREP", "4"))
 
 RESULTS = {}
@@ -76,6 +77,8 @@ def main():
         stage_degrid(rng)
     if "hess" in STAGES:
         stage_hess(rng)
+    if "hess8k" in STAGES:
+        stage_hess8k(rng)
     if "psi" in STAGES:
         stage_psi(rng)
 
@@ -212,6 +215,34 @@ def stage_hess(rng):
     np.asarray(prun(hess, x * scal(1.0000001)[0]))
     res["pcg_iters_per_sec"] = niter / (time.time() - t0)
     emit("hessian", res)
+
+
+def stage_hess8k(rng):
+    """BASELINE.md target scale: PSF Hessian + PCG at 8192^2 (16k padded)."""
+    from pfb_imaging_tpu.opt.pcg import pcg
+    from pfb_imaging_tpu.ops.hessian import HessianCube, hess_cube_dot
+
+    nxh = 8192
+    nxp = 2 * nxh
+    # |PSFHAT| built on-device to avoid a 0.5 GB host transfer
+    key = jax.random.PRNGKey(0)
+    ph = jax.jit(lambda k: jnp.abs(jax.random.normal(k, (1, 1, nxp, nxp // 2 + 1))) + 0.1)(key)
+    hess = HessianCube.build(ph, np.ones(1, np.float32), 1e-5, nxp, nxp)
+    x = jax.jit(lambda k: jax.random.normal(k, (1, nxh, nxh)))(jax.random.PRNGKey(1))
+    hd = jax.jit(hess_cube_dot)
+    dt = timed_chain(lambda i: hd(hess, x + scal(1e-6 * i)[0]), nrep=2)
+    res = {"name": "hessian_matvec_8k", "ms": dt * 1e3, "nx": nxh}
+    niter = 5
+    prun = jax.jit(
+        lambda h, b: jnp.sum(
+            pcg(jax.tree_util.Partial(hess_cube_dot, h), b, tol=0.0, maxit=niter, minit=niter) ** 2
+        ).reshape(1)
+    )
+    np.asarray(prun(hess, x))
+    t0 = time.time()
+    np.asarray(prun(hess, x * scal(1.0000001)[0]))
+    res["pcg_iters_per_sec"] = niter / (time.time() - t0)
+    emit("hessian8k", res)
 
 
 def stage_psi(rng):
