@@ -259,10 +259,20 @@ def plan_idg(
     half: int = 8,
     group_size: int = 64,
     max_bins: int = 4096,
+    force_w_range: tuple | None = None,
+    bin_gcap: tuple | None = None,
+    count_only: bool = False,
 ) -> IDGPlan:
     """Host-side IDG planning: bucketing, taper fit, phase matrices, bins.
 
     Mirrors ``plan_wgridder``'s signature/conventions (ops/gridder.py).
+
+    SPMD-uniformity hooks (plan_idg_sharded, parallel/sharded.py): pass
+    ``force_w_range=(wmin, wmax, nbins)`` so row shards share one bin grid,
+    ``bin_gcap`` (per-bin group capacities) to pad every shard to a common
+    static group layout, and ``count_only=True`` for a cheap first pass
+    that returns (nbins, bin_gcount, (wmin, wmax)) without building the
+    phase matrices.
     """
     uvw = np.asarray(uvw, np.float64)
     freq = np.asarray(freq, np.float64)
@@ -311,8 +321,15 @@ def plan_idg(
     taylor2 = alpha + bl * dl2d + bm * dm2d + gl * dl2d**2 + gm * dm2d**2
     resid_max = float(np.abs(nm1 - taylor2).max())
 
+    if force_w_range is not None:
+        do_w = True
     if do_w:
-        wmin, wmax = float(w_lam.min()), float(w_lam.max())
+        wmin, wmax = float(w_lam.min()) if w_lam.size else 0.0, float(w_lam.max()) if w_lam.size else 0.0
+        if force_w_range is not None:
+            fw0, fw1, fnb = force_w_range
+            if w_lam.size and (wmin < fw0 - 1e-9 or wmax > fw1 + 1e-9):
+                raise ValueError("force_w_range does not cover this shard's w range")
+            wmin, wmax = float(fw0), float(fw1)
         ximax_x = nx / (2.0 * nbig_x) + 0.01
         ximax_y = ny / (2.0 * nbig_y) + 0.01
         # bin halfwidth constraints: residual phase and chirp budget
@@ -323,6 +340,8 @@ def plan_idg(
         c2 = CHIRP_BUDGET / max(chirp_l, chirp_m)
         delta = min(c1, c2)
         nbins = max(1, int(np.ceil((wmax - wmin) / (2.0 * delta)))) if wmax > wmin else 1
+        if force_w_range is not None:
+            nbins = int(force_w_range[2])
         if nbins > max_bins:
             raise ValueError(
                 f"IDG needs {nbins} w-bins (> {max_bins}); field too wide — use the classic w-stacking gridder"
@@ -389,6 +408,42 @@ def plan_idg(
     bin_gstart = np.searchsorted(bin_g, np.arange(nbins), side="left")
     bin_gend = np.searchsorted(bin_g, np.arange(nbins), side="right")
     bin_gcount = bin_gend - bin_gstart
+
+    if count_only:
+        wlo = float(w_lam.min()) if (do_w and w_lam.size) else 0.0
+        whi = float(w_lam.max()) if (do_w and w_lam.size) else 0.0
+        return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi)
+
+    if bin_gcap is not None:
+        # pad every bin's group block to its forced capacity: sentinel
+        # groups (all slots empty, bucket 0) make the layout identical
+        # across row shards so ONE SPMD program serves them all
+        bin_gcap = tuple(int(x) for x in bin_gcap)
+        if any(c < int(n) for c, n in zip(bin_gcap, bin_gcount)):
+            raise ValueError("bin_gcap smaller than this shard's group count")
+        new_start = np.concatenate([[0], np.cumsum(bin_gcap)])[:-1]
+        new_ng = int(sum(bin_gcap))
+        remap = np.zeros(ng, np.int64)
+        for b in range(nbins):
+            s, c = bin_gstart[b], bin_gcount[b]
+            remap[s : s + c] = new_start[b] + np.arange(c)
+
+        def _pad_groups(arr, fill):
+            shp = (new_ng,) + arr.shape[1:]
+            out = np.full(shp, fill, arr.dtype)
+            out[remap] = arr
+            return out
+
+        cg_idx = _pad_groups(cg_idx, nvis)
+        du_g = _pad_groups(du_g, 0.0)
+        dv_g = _pad_groups(dv_g, 0.0)
+        phiu_g = _pad_groups(phiu_g, 0.0)
+        phiv_g = _pad_groups(phiv_g, 0.0)
+        bid_g = _pad_groups(bid_g, 0)
+        g_of = remap[g_of]
+        ng = new_ng
+        bin_gstart = new_start
+        bin_gcount = np.asarray(bin_gcap, np.int64)
 
     # inverse map for degrid: ORIGINAL flat index -> flat (g*G + slot)
     # (g_of/slot_of are indexed by sorted position; order maps back)

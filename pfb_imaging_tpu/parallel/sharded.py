@@ -151,3 +151,78 @@ def sharded_vis2dirty(mesh: Mesh, stacked_plan: WGridderPlan, vis, wgt=None, axe
         return jax.lax.psum(partial_img, axes)
 
     return _grid(stacked_plan, vis, wgt)
+
+
+# ── IDG row sharding (the TPU production path) ───────────────────────
+#
+# The IDG gridder (ops/gridder_idg.py) is all dense static ops — batched
+# matmuls, small FFTs, segment adds — so it shards with nothing but leaf
+# stacking, provided every shard gets an identical static layout: a shared
+# w-bin grid and per-bin group capacities padded to the max across shards.
+
+
+def plan_idg_sharded(uvw, freq, nshards: int, **kw):
+    """Split rows into nshards chunks and build one SPMD-uniform IDG plan.
+
+    Returns (stacked_plan, rows_per_shard): plan leaves gain a leading
+    shard axis; static metadata is identical across shards by
+    construction (forced w range/bins, per-bin group capacity = max).
+    """
+    from ..ops.gridder_idg import IDGPlan, plan_idg  # noqa: F401
+
+    uvw = np.asarray(uvw)
+    nrow = uvw.shape[0]
+    if nrow % nshards:
+        raise ValueError(f"nrow={nrow} not divisible by nshards={nshards} — pad with zero-weight rows")
+    rows = nrow // nshards
+    nbins, _, (wlo, whi) = plan_idg(uvw, freq, count_only=True, **kw)
+    force = (wlo, whi, nbins)
+    counts = []
+    for i in range(nshards):
+        _, cnt, _ = plan_idg(
+            uvw[i * rows : (i + 1) * rows], freq, count_only=True, force_w_range=force, **kw
+        )
+        counts.append(cnt)
+    gcap = tuple(max(1, max(c[b] for c in counts)) for b in range(nbins))
+    plans = [
+        plan_idg(uvw[i * rows : (i + 1) * rows], freq, force_w_range=force, bin_gcap=gcap, **kw)
+        for i in range(nshards)
+    ]
+    leaves = [jax.tree_util.tree_leaves(p) for p in plans]
+    treedef = jax.tree_util.tree_structure(plans[0])
+    stacked = jax.tree_util.tree_unflatten(treedef, [jnp.stack(ls) for ls in zip(*leaves)])
+    return stacked, rows
+
+
+def sharded_vis2dirty_idg(mesh: Mesh, stacked_plan, vis_re, vis_im, wgt=None, axes=("band", "row")):
+    """SPMD IDG gridding: each shard grids its rows, image psum over mesh.
+
+    ``vis_re``/``vis_im``/``wgt`` have shape (nshards, rows, nchan) with
+    the leading axis sharded over ``axes``. Unlike the scan+dynamic_slice
+    classic path this contains no ops outside the proven-on-runtime set
+    (docs/tpu-runtime-notes.md) — it is the multichip production backend.
+    """
+    from ..ops.gridder_idg import _vis2dirty_idg_impl
+
+    if wgt is None:
+        wgt = jnp.ones(vis_re.shape, dtype=stacked_plan.phase_re.dtype)
+    shard_spec = P(axes)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: shard_spec, stacked_plan),
+            shard_spec,
+            shard_spec,
+            shard_spec,
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _grid(plan_s, vr_s, vi_s, wgt_s):
+        plan_local = jax.tree_util.tree_map(lambda a: a[0], plan_s)
+        partial_img = _vis2dirty_idg_impl(plan_local, vr_s[0], vi_s[0], wgt_s[0], None)
+        return jax.lax.psum(partial_img, axes)
+
+    return _grid(stacked_plan, vis_re, vis_im, wgt)

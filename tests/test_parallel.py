@@ -143,3 +143,33 @@ def test_sharded_wgridder_matches_single(tmp_path):
     wgt_s = jax.device_put(jnp.asarray(wgt.reshape(nsh, rows, nchan)), spec)
     out = np.asarray(sharded_vis2dirty(mesh, stacked, vis_s, wgt_s))
     np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max())
+
+
+def test_sharded_vis2dirty_idg_matches_local(rng):
+    """Row-sharded IDG gridding == single-plan gridding (SPMD layout:
+    shared w-bin grid + per-bin group capacity padded across shards)."""
+    import jax.numpy as jnp
+    from pfb_imaging_tpu.ops.gridder_idg import plan_idg, vis2dirty_idg
+    from pfb_imaging_tpu.parallel.mesh import make_mesh
+    from pfb_imaging_tpu.parallel.sharded import plan_idg_sharded, sharded_vis2dirty_idg
+
+    nrow, nchan, nx = 1600, 2, 64
+    cell = 8e-6 * 1024 / nx
+    uvw = rng.uniform(-16000, 16000, (nrow, 3))
+    uvw[:, 2] *= 0.3  # enough w spread for several bins
+    freq = np.linspace(1e9, 1.1e9, nchan)
+    vis = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    wgt = rng.uniform(0.5, 2.0, (nrow, nchan))
+    kw = dict(nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-5, do_wgridding=True, divide_by_n=False)
+
+    plan = plan_idg(uvw, freq, **kw)
+    ref = np.asarray(vis2dirty_idg(plan, jnp.asarray(vis), wgt=jnp.asarray(wgt)))
+
+    mesh = make_mesh(band=2, row=4)
+    nsh = 8
+    stacked, rows = plan_idg_sharded(uvw, freq, nsh, **kw)
+    vr = jnp.asarray(vis.real.reshape(nsh, rows, nchan))
+    vi = jnp.asarray(vis.imag.reshape(nsh, rows, nchan))
+    wg = jnp.asarray(wgt.reshape(nsh, rows, nchan))
+    out = np.asarray(sharded_vis2dirty_idg(mesh, stacked, vr, vi, wgt=wg))
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8 * np.abs(ref).max())
