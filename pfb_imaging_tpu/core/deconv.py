@@ -72,6 +72,7 @@ def deconv(
     model = np.zeros((nband, nx, ny))
     update = np.zeros((nband, nx, ny))
     abspsfhat = []
+    beams = []
     iter0 = 0
     for b, key in enumerate(band_nodes):
         node = dt.group(key)
@@ -89,7 +90,22 @@ def deconv(
             np.asarray(node.read("PSFHAT"))
         )[None]
         abspsfhat.append(ph)
+        # per-partition primary beams -> the Hessian's B^T ... B
+        # (reference HessianTree beam argument; round-1 always ran beam=None)
+        if parts and all(node.group(p).has("BEAM") for p in parts):
+            beams.append(np.stack([np.asarray(node.group(p).read("BEAM")) for p in parts]))
+        else:
+            beams.append(None)
     abspsfhat = np.stack(abspsfhat)  # (nband, npart, nxp, nyo2)
+    beam_per_band = np.stack(beams) if all(bm is not None for bm in beams) else None
+    # band-mean beam: multiplies the residual before the forward solve so
+    # the normal equations target the INTRINSIC sky (reference legacy sara
+    # driver `residual *= beam`, core/sara.py:280)
+    band_beam = None
+    if beam_per_band is not None:
+        band_beam = np.stack(
+            [np.asarray(dt.group(key).read("BEAM")) if dt.group(key).has("BEAM") else beam_per_band[b].mean(0) for b, key in enumerate(band_nodes)]
+        )
     wsum = wsums.sum()
 
     cached_norm = dt.attrs.get("hess_norm")
@@ -112,7 +128,7 @@ def deconv(
         opts.update(opts_extra)
 
     geometry = dict(nx=nx, ny=ny, nx_psf=nx_psf, ny_psf=ny_psf)
-    solver = PRESETS[preset](abspsfhat, wsums, geometry, model, update, opts)
+    solver = PRESETS[preset](abspsfhat, wsums, geometry, model, update, opts, beam_per_band=beam_per_band)
     dt.set_attrs(hess_norm=solver.hess_norm)
 
     # warm-start the PD dual from the checkpoint when present — the
@@ -162,7 +178,8 @@ def deconv(
     log.info("start: iter0=%d rms=%.3e rmax=%.3e", iter0, rms, rmax)
 
     for k in range(iter0, iter0 + niter):
-        solver.first(jnp.asarray(residual / wsum))
+        rin = residual if band_beam is None else residual * band_beam
+        solver.first(jnp.asarray(rin / wsum))
         update = np.asarray(solver.forward(None))
         lam = (init_factor if (iter0 == 0 and k == 0) else 1.0) * rmsfactor * rms  # D5
         model = np.asarray(solver.backward(lam))

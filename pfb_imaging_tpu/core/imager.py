@@ -78,6 +78,8 @@ def imager(
     l2_reweight_dof: float | None = None,
     gridder: str = "auto",
     plan_threads: int = 8,
+    do_noise: bool = True,
+    noise_seed: int = 7,
 ):
     """Grid a Stokes vis store into a .dt image tree. Returns the TreeStore."""
     xds = TreeStore(xds_path)
@@ -194,8 +196,19 @@ def imager(
         planner = plan_idg if use_idg else plan_wgridder
         plan_im = planner(uvw, f, nx=nx_im, ny=ny_im, **kw)
         plan_psf = planner(uvw, f, nx=nx_psf, ny=ny_psf, **kw)
+        beam_p = None
+        if g.has("BEAM_SMALL"):
+            # small-grid beam -> image grid (reference eval_beam,
+            # gridder.py:841-848) — consumed by the deconv Hessian
+            from ..utils.beam import interp_beam
+
+            lg_im = (np.arange(nx_im) - nx_im // 2) * cell_rad
+            ll, mm = np.meshgrid(lg_im, lg_im, indexing="ij")
+            beam_p = interp_beam(
+                np.asarray(g.read("BEAM_SMALL")), np.asarray(g.read("BEAM_L")), np.asarray(g.read("BEAM_M")), ll, mm
+            )
         tattrs = dict(time=g.attrs.get("time", 0.0))
-        return b, ip, key, uvw, f, vis, wgt, mask, l0, m0, plan_im, plan_psf, tattrs
+        return b, ip, key, uvw, f, vis, wgt, mask, l0, m0, plan_im, plan_psf, beam_p, tattrs
 
     tasks = [(b, ip, key) for b in range(nband) if bands[b].size for ip, key in enumerate(parts)]
     pool = ThreadPoolExecutor(max_workers=max(1, plan_threads))
@@ -215,12 +228,16 @@ def imager(
     dirty_acc = [np.zeros((nx_im, ny_im)) for _ in range(nband)]
     psf_acc = [np.zeros((nx_psf, ny_psf)) for _ in range(nband)]
     wsum_acc = [0.0 for _ in range(nband)]
+    noise_acc = [np.zeros((nx_im, ny_im)) for _ in range(nband)]
+    beam_acc = [np.zeros((nx_im, ny_im)) for _ in range(nband)]
+    any_beam = False
+    nrng = np.random.default_rng(noise_seed)
 
     while ti < len(tasks) or pending:
         while ti < len(tasks) and len(pending) < window:
             pending.append(pool.submit(_prepare_task, *tasks[ti]))
             ti += 1
-        b, ip, key, uvw, f, vis, wgt, mask, l0, m0, plan_im, plan_psf, tattrs = pending.popleft().result()
+        b, ip, key, uvw, f, vis, wgt, mask, l0, m0, plan_im, plan_psf, beam_p, tattrs = pending.popleft().result()
 
         if model_eval is not None:
             # residual visibilities + optional Student-t reweighting
@@ -248,6 +265,18 @@ def imager(
         pg.write("FREQ", f)
         pg.write("PSF", psf_p)
         pg.write("PSFHAT", np.fft.rfft2(np.fft.ifftshift(psf_p)))
+        if beam_p is not None:
+            pg.write("BEAM", beam_p)
+            beam_acc[b] += wsum_p * beam_p
+            any_beam = True
+
+        if do_noise:
+            # unit-variance noise projected into image space with the same
+            # weights (reference NOISE product, gridder.py:700-734)
+            nv = nrng.standard_normal(vis.shape) + 1j * nrng.standard_normal(vis.shape)
+            safe_w = np.where(wgt > 0, wgt, 1.0)
+            nv = np.where(wgt > 0, nv / np.sqrt(safe_w), 0.0)
+            noise_acc[b] += np.asarray(v2d(plan_im, jnp.asarray(nv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
 
         dirty_acc[b] += dirty_p
         psf_acc[b] += psf_p
@@ -265,6 +294,14 @@ def imager(
         node.write("PSF", psf_b)
         node.write("PSFHAT", np.fft.rfft2(np.fft.ifftshift(psf_b)))
         node.write("WSUM", np.asarray([wsum_b]))
+        if do_noise:
+            node.write("NOISE", noise_acc[b])
+        if any_beam:
+            node.write("BEAM", beam_acc[b] / max(wsum_b, 1e-300))
+        # per-band clean-beam parameters (reference PSFPARSN,
+        # gridder.py:913-920)
+        psfparsn = fitcleanbeam((psf_b / max(wsum_b, 1e-300))[None])[0]
+        node.write("PSFPARSN", np.asarray(psfparsn))
         node.set_attrs(freq_out=freq_out[b], wsum=wsum_b, niters=0, time_out=0.0)
         dirty_mfs += dirty_b
         psf_mfs += psf_b
@@ -374,20 +411,24 @@ def residual_from_parts(
                 plan = plan_idg(uvw, f, **kw)
             else:
                 plan = plan_wgridder(uvw, f, **kw)
-            cached = (plan, jnp.asarray(np.asarray(pg.read("WEIGHT"))), jnp.asarray(np.asarray(pg.read("MASK"))))
+            beam = jnp.asarray(np.asarray(pg.read("BEAM"))) if pg.has("BEAM") else None
+            cached = (plan, jnp.asarray(np.asarray(pg.read("WEIGHT"))), jnp.asarray(np.asarray(pg.read("MASK"))), beam)
             while len(_PLAN_CACHE) >= _PLAN_CACHE_CAP:
                 _PLAN_CACHE.popitem(last=False)
             _PLAN_CACHE[key] = cached
         else:
             _PLAN_CACHE.move_to_end(key)
-        plan, wgt, mask = cached
+        plan, wgt, mask, beam = cached
+        # beam applied once on the degrid side (reference
+        # residual_from_partitions: dirty - sum_p G_p^T W_p G_p (beam_p m))
+        xin = jnp.asarray(model_b) if beam is None else jnp.asarray(model_b) * beam
         if use_idg:
             from ..ops.gridder_idg import dirty2vis_idg, vis2dirty_idg
 
-            mvis = dirty2vis_idg(plan, jnp.asarray(model_b))
+            mvis = dirty2vis_idg(plan, xin)
             resid -= np.asarray(vis2dirty_idg(plan, mvis, wgt=wgt, mask=mask))
         else:
-            mvis = dirty2vis(plan, jnp.asarray(model_b))
+            mvis = dirty2vis(plan, xin)
             resid -= np.asarray(vis2dirty(plan, mvis, wgt=wgt, mask=mask))
     return resid
 

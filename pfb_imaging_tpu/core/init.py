@@ -44,8 +44,25 @@ def init(
     product: str = "I",
     chan_average: int = 1,
     apply_jones: bool = True,
+    bda_decorrelation: float | None = None,
+    bda_fov: float | None = None,
+    bda_max_window: int = 64,
+    beam_model: str = "auto",
+    beam_npix: int = 129,
 ):
-    """Convert a raw container to a Stokes product store."""
+    """Convert a raw container to a Stokes product store.
+
+    ``bda_decorrelation``: when set (e.g. 0.98) and the container carries
+    TIME/ANTENNA columns, apply baseline-dependent time averaging after
+    the Stokes conversion (reference stokes2vis_msv4.py:324-365; see
+    utils/bda.py). ``bda_fov`` is the field radius in radians the
+    smearing bound protects (defaults to nx*cell_rad/2 from the attrs).
+
+    ``beam_model``: "auto" evaluates the analytic dish beam on a small
+    grid per partition when the container advertises a ``beam_diameter``
+    (the reference's katbeam-eval-at-ingest, stokes2vis.py:373-415);
+    "none" disables.
+    """
     ms = TreeStore(ms_path)
     out = TreeStore(output_store, mode="w")
     attrs = ms.attrs
@@ -57,7 +74,12 @@ def init(
         product=product,
         freq=freqs.tolist(),
         cell_rad=attrs.get("cell_rad"),
+        beam_diameter=attrs.get("beam_diameter"),
     )
+
+    beam_diam = attrs.get("beam_diameter") if beam_model == "auto" else None
+    cell_attr = attrs.get("cell_rad") or 0.0
+    fov_r = bda_fov if bda_fov is not None else (attrs.get("nx", 128) * cell_attr / 2.0 or 1e-2)
 
     for key in ms.groups():
         g = ms.group(key)
@@ -75,12 +97,43 @@ def init(
         if chan_average > 1:
             vis_s, wgt_s, mask, f_out = _chan_average(vis_s, wgt_s, mask, freqs, chan_average)
 
+        uvw = np.asarray(g.read("UVW"))
+        nrow_in = vis_s.shape[0]
+        if bda_decorrelation is not None and g.has("TIME") and g.has("ANTENNA1"):
+            from ..utils.bda import bda_average
+
+            vis_s, wgt_s, mask, uvw, times = bda_average(
+                vis_s,
+                wgt_s,
+                mask,
+                uvw,
+                np.asarray(g.read("TIME")),
+                np.asarray(g.read("ANTENNA1")),
+                np.asarray(g.read("ANTENNA2")),
+                freq_max=float(f_out.max()),
+                fov_radius=fov_r,
+                decorrelation=bda_decorrelation,
+                max_window=bda_max_window,
+            )
+
         og = out.group(key)
         og.set_attrs(**g.attrs)
         og.write("VIS", vis_s)
         og.write("WEIGHT", wgt_s)
         og.write("MASK", mask)
-        og.write("UVW", g.read("UVW"))
+        og.write("UVW", uvw)
         og.write("FREQ", f_out)
-        log.info("init: %s -> %d rows, %d chans", key, vis_s.shape[0], vis_s.shape[1])
+        if beam_diam:
+            # small-grid beam at the partition's mean frequency (the
+            # imager interpolates onto the image grid, reference
+            # eval_beam path gridder.py:841-848)
+            from ..utils.beam import gauss_beam
+
+            ext = fov_r * 1.3
+            lg = np.linspace(-ext, ext, beam_npix)
+            ll, mm = np.meshgrid(lg, lg, indexing="ij")
+            og.write("BEAM_SMALL", gauss_beam(ll, mm, float(f_out.mean()), diameter=beam_diam))
+            og.write("BEAM_L", lg)
+            og.write("BEAM_M", lg)
+        log.info("init: %s -> %d rows (%d in), %d chans", key, vis_s.shape[0], nrow_in, vis_s.shape[1])
     return out

@@ -66,6 +66,9 @@ def simulate_vis_store(
     feed_type: str = "linear",
     corrupt_gains: bool = False,
     pol_fractions=(0.0, 0.0, 0.0),
+    beam_diameter: float | None = None,
+    times_per_scan: int = 1,
+    tint: float | None = None,
     seed: int = 42,
 ):
     """Create a raw visibility container with known point sources.
@@ -80,7 +83,16 @@ def simulate_vis_store(
     freqs = np.linspace(freq0, freq1, nchan)
     ref_freq = freqs[0]
 
-    uvw_t = [snapshot_uvw(antennas, ha) for ha in np.linspace(-0.2, 0.2, ntime)]
+    # hour-angle track at the sidereal rate: ha = omega_E * t, so the TIME
+    # column is CONSISTENT with the uvw rotation (ingest-time BDA derives
+    # its windows from the same rate, utils/bda.py). Default tint keeps the
+    # historical 0.4 rad span (sparse snapshots of a long observation).
+    from ..utils.bda import OMEGA_EARTH
+
+    if tint is None:
+        tint = 0.4 / ((ntime - 1) * OMEGA_EARTH) if ntime > 1 else 60.0
+    t_rel = (np.arange(ntime) - (ntime - 1) / 2.0) * tint
+    uvw_t = [snapshot_uvw(antennas, ha) for ha in OMEGA_EARTH * t_rel]
     max_blength = max(np.abs(u).max() for u in uvw_t)
     cell_n = 1.0 / (2 * max_blength * freqs.max() / LIGHTSPEED)
     cell_rad = cell_n / cell_factor
@@ -89,6 +101,18 @@ def simulate_vis_store(
     for xf, yf, flux, alpha in sources:
         p, q = int(xf * nx), int(yf * nx)
         model[:, p, q] += flux * (freqs / ref_freq) ** alpha
+
+    # apparent sky = intrinsic model attenuated by the primary beam
+    # (reference simulates through katbeam; utils/beam.py model here)
+    model_app = model
+    if beam_diameter is not None:
+        from ..utils.beam import gauss_beam
+
+        lg = (np.arange(nx) - nx // 2) * cell_rad
+        ll, mm = np.meshgrid(lg, lg, indexing="ij")
+        bcube = gauss_beam(ll, mm, freqs, diameter=beam_diameter)
+        bcube = bcube[None] if bcube.ndim == 2 else bcube
+        model_app = model * bcube
 
     store = TreeStore(path, mode="w")
     store.set_attrs(
@@ -100,17 +124,32 @@ def simulate_vis_store(
         cell_rad=cell_rad,
         nx=nx,
         ny=nx,
+        beam_diameter=beam_diameter,
     )
 
-    for t, uvw in enumerate(uvw_t):
+    import itertools
+
+    ant1, ant2 = np.asarray(list(itertools.combinations(range(nant), 2))).T
+
+    # group consecutive snapshots into one partition (rows stacked) so
+    # ingest-time baseline-dependent time averaging has something to
+    # average (reference scans hold many integrations)
+    scans = [
+        (s, np.concatenate(uvw_t[s : s + times_per_scan], axis=0))
+        for s in range(0, len(uvw_t), times_per_scan)
+    ]
+
+    for t, uvw in scans:
         nrow = uvw.shape[0]
+        ntin = nrow // ant1.size
+        times_row = np.repeat((t + np.arange(ntin)) * tint, ant1.size)
         stokes_vis = np.zeros((4, nrow, nchan), dtype=np.complex128)
         for c in range(nchan):
             vis_i = np.asarray(
                 dirty2vis_dft(
                     uvw,
                     freqs[c : c + 1],
-                    model[c],
+                    model_app[c],
                     nx=nx,
                     ny=nx,
                     cellx=cell_rad,
@@ -129,9 +168,11 @@ def simulate_vis_store(
             wgt = wgt / noise**2
 
         g = store.group(f"scan{t:04d}")
-        g.set_attrs(time=float(t * 60.0), l0=0.0, m0=0.0)
+        g.set_attrs(time=float(np.mean(times_row)), l0=0.0, m0=0.0)
         g.write("UVW", uvw)
-        g.write("TIME", np.full(nrow, t * 60.0))
+        g.write("TIME", times_row)
+        g.write("ANTENNA1", np.tile(ant1, ntin))
+        g.write("ANTENNA2", np.tile(ant2, ntin))
         g.write("FLAG", np.zeros((nrow, nchan), dtype=np.uint8))
         if corrupt_gains:
             gp = 1.0 + 0.1 * (rng.standard_normal((ncorr, nrow, nchan)) + 1j * rng.standard_normal((ncorr, nrow, nchan)))

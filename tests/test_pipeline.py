@@ -334,3 +334,95 @@ def test_imager_briggs_weighting(sim_ms, tmp_path):
     a_nat = beam_area(dt_nat)
     a_uni = beam_area(dt_uni)
     assert a_uni < a_nat, f"uniform beam ({a_uni}) should be tighter than natural ({a_nat})"
+
+
+def test_bda_reduces_rows_preserves_dirty(tmp_path):
+    """Ingest-time BDA shrinks the row axis (short baselines averaged) while
+    preserving wsum and the natural dirty image to the decorrelation
+    tolerance (reference stokes2vis_msv4.py:324-365 via africanus)."""
+    ms = str(tmp_path / "bda.ms.tree")
+    store, truth = simulate_vis_store(
+        ms, nant=10, ntime=12, nchan=2, nx=64, times_per_scan=12, sources=((0.5, 0.5, 1.0, 0.0),)
+    )
+    xds_full = str(tmp_path / "full.xds")
+    xds_bda = str(tmp_path / "bda.xds")
+    init(ms, xds_full, product="I")
+    init(ms, xds_bda, product="I", bda_decorrelation=0.98)
+    gf = TreeStore(xds_full).group("scan0000")
+    gb = TreeStore(xds_bda).group("scan0000")
+    nfull = np.asarray(gf.read("VIS")).shape[0]
+    nbda = np.asarray(gb.read("VIS")).shape[0]
+    assert nbda < nfull  # rows actually averaged
+    wf = (np.asarray(gf.read("WEIGHT")) * np.asarray(gf.read("MASK"))).sum()
+    wb = (np.asarray(gb.read("WEIGHT")) * np.asarray(gb.read("MASK"))).sum()
+    assert wb == pytest.approx(wf, rel=1e-10)  # wsum preserved
+
+    dt_f = str(tmp_path / "full.dt")
+    dt_b = str(tmp_path / "bda.dt")
+    kw = dict(nband=1, nx=truth["nx"], cell_size=np.rad2deg(truth["cell_rad"]) * 3600,
+              robustness=None, epsilon=1e-7, fits_out=False, do_noise=False)
+    imager(xds_full, dt_f, **kw)
+    imager(xds_bda, dt_b, **kw)
+    df = np.asarray(TreeStore(dt_f).group("band0000_time0000").read("DIRTY"))
+    db = np.asarray(TreeStore(dt_b).group("band0000_time0000").read("DIRTY"))
+    assert np.abs(df - db).max() / np.abs(df).max() < 0.05
+
+
+def test_beam_end_to_end_flux(tmp_path):
+    """Apparent sky simulated through the primary beam; the beam-aware
+    deconv recovers the INTRINSIC flux of an off-centre source while the
+    beam-blind dirty peak stays attenuated (VERDICT round-1 item 7: beam
+    must be produced, written and consumed by the Hessian)."""
+    ms = str(tmp_path / "beam.ms.tree")
+    # probe run to learn the cell size, then pick a dish diameter that puts
+    # the off-centre source well down the beam (the beam scale is FoV-tiny
+    # for this toy array, so the diameter is synthetic)
+    _, truth0 = simulate_vis_store(str(tmp_path / "probe.ms.tree"), nant=12, ntime=2, nchan=2, nx=64,
+                                   sources=((0.25, 0.25, 1.0, 0.0),))
+    from pfb_imaging_tpu.constants import LIGHTSPEED
+    from pfb_imaging_tpu.utils.beam import gauss_beam
+
+    nx = truth0["nx"]
+    p = q = nx // 4
+    offset = (nx // 2 - p) * truth0["cell_rad"] * np.sqrt(2.0)
+    lam_mean = LIGHTSPEED / truth0["freqs"].mean()
+    diameter = 1.18 * lam_mean / (2.2 * offset)  # FWHM ~ 2.2x the offset
+    store, truth = simulate_vis_store(
+        ms, nant=12, ntime=2, nchan=2, nx=64, sources=((0.25, 0.25, 1.0, 0.0),),
+        beam_diameter=diameter,
+    )
+    lg = (np.arange(nx) - nx // 2) * truth["cell_rad"]
+    bvals = gauss_beam(lg[p] * np.ones((1, 1)), lg[q] * np.ones((1, 1)), truth["freqs"], diameter=diameter)
+    bsrc = float(np.mean(bvals))  # beam at the source
+    assert 0.2 < bsrc < 0.9
+
+    xds = str(tmp_path / "beam.xds")
+    dt = str(tmp_path / "beam.dt")
+    init(ms, xds, product="I")
+    assert TreeStore(xds).group("scan0000").has("BEAM_SMALL")
+    imager(xds, dt, nband=1, nx=nx, cell_size=np.rad2deg(truth["cell_rad"]) * 3600,
+           robustness=None, epsilon=1e-7, fits_out=False, do_noise=False)
+    node = TreeStore(dt).group("band0000_time0000")
+    assert node.has("BEAM") and node.group("part0000").has("BEAM")
+    # dirty peak is attenuated by ~the beam value
+    dirty = np.asarray(node.read("DIRTY")) / float(np.asarray(node.read("WSUM"))[0])
+    assert dirty[p, q] == pytest.approx(bsrc * 1.0, rel=0.15)
+
+    from pfb_imaging_tpu.core.deconv import deconv
+
+    model, residual = deconv(dt, preset="sara", niter=4, eta=1e-4, cg_maxit=60, cg_tol=1e-5,
+                             pd_maxit=150, pd_tol=1e-4, l1_reweight_from=-1, fit_mds=False, epsilon=1e-7)
+    box = model.sum(axis=0)[p - 3 : p + 4, q - 3 : q + 4].sum()
+    # intrinsic flux recovered (NOT the attenuated apparent flux)
+    assert box == pytest.approx(1.0, rel=0.25)
+    assert abs(box - bsrc) > 0.1 * bsrc  # distinguishable from no-beam answer
+
+
+def test_imager_noise_and_psfparsn_products(gridded):
+    dt, truth = gridded
+    node = TreeStore(dt).group("band0000_time0000")
+    assert node.has("NOISE")
+    noise = np.asarray(node.read("NOISE")) / float(np.asarray(node.read("WSUM"))[0])
+    assert np.all(np.isfinite(noise)) and noise.std() > 0
+    pars = np.asarray(node.read("PSFPARSN"))
+    assert pars.shape[-1] == 3 and pars[0] > 0
