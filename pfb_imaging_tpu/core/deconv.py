@@ -61,10 +61,22 @@ def deconv(
     attrs = dt.attrs
     nx, ny = attrs["nx"], attrs["ny"]
     nx_psf, ny_psf = attrs["nx_psf"], attrs["ny_psf"]
+    # nodes are band####_time####; the solver treats every (band, time)
+    # slice uniformly along the cube's leading axis (the reference's v1
+    # deconv asserted single-time, core/deconv.py:105-112 — lifted here)
     band_nodes = [k for k in dt.groups() if k.startswith("band")]
+    nband_f = int(attrs["nband"])
+    ntime = int(attrs.get("ntime", 1))
     nband = len(band_nodes)
-    assert nband == attrs["nband"]
-    freq_out = np.asarray(attrs["freq_out"], dtype=float)
+    assert nband == nband_f * ntime, f"{nband} nodes != nband {nband_f} x ntime {ntime}"
+    node_times = []
+    node_freqs = []
+    freq_attr = np.asarray(attrs["freq_out"], dtype=float)
+    for key in band_nodes:
+        na = dt.group(key).attrs
+        node_times.append(float(na.get("time_out", 0.0)))
+        node_freqs.append(float(na.get("freq_out", freq_attr.ravel()[0])))
+    freq_out = np.asarray(node_freqs)
 
     # driver holds only image-scale cubes (design D10)
     wsums = np.zeros(nband)
@@ -186,14 +198,18 @@ def deconv(
         solver.last()
 
         if fit_mds and model.any():
-            # fit component model, re-evaluate the model from the fit
-            # (keeps the on-disk model consistent with the .mds)
+            # fit component model over the (time, freq) node grid, then
+            # re-evaluate so the on-disk model matches the .mds
+            times_u = np.asarray(node_times).reshape(nband_f, ntime)[0]
+            freqs_u = freq_out.reshape(nband_f, ntime)[:, 0]
+            mcube = model.reshape(nband_f, ntime, nx, ny).transpose(1, 0, 2, 3)
             coeffs, ix, iy, mattrs = fit_image_cube(
-                np.asarray([0.0]), freq_out, model[None], nbasisf=nbasisf or nband
+                times_u, freqs_u, mcube, nbasisf=nbasisf or nband_f, nbasist=min(ntime, 2)
             )
             mds = TreeStore(str(dt.path).replace(".dt", ".mds"), mode="w")
             save_mds(mds, coeffs, ix, iy, mattrs)
-            model = eval_coeffs_to_cube(np.asarray([0.0]), freq_out, coeffs, ix, iy, mattrs)[0]
+            mcube = eval_coeffs_to_cube(times_u, freqs_u, coeffs, ix, iy, mattrs)
+            model = mcube.transpose(1, 0, 2, 3).reshape(nband, nx, ny)
 
         # exact residual through the measurement operator, per band
         for b, key in enumerate(band_nodes):

@@ -80,6 +80,7 @@ def imager(
     plan_threads: int = 8,
     do_noise: bool = True,
     noise_seed: int = 7,
+    ntime: int = 1,
 ):
     """Grid a Stokes vis store into a .dt image tree. Returns the TreeStore."""
     xds = TreeStore(xds_path)
@@ -210,6 +211,17 @@ def imager(
         tattrs = dict(time=g.attrs.get("time", 0.0))
         return b, ip, key, uvw, f, vis, wgt, mask, l0, m0, plan_im, plan_psf, beam_p, tattrs
 
+    # time binning: partitions land in ntime contiguous bins over scan time
+    # (reference band####_time#### nodes; concat_row/ntime=1 collapses)
+    part_times = np.asarray([xds.group(k).attrs.get("time", 0.0) for k in parts], dtype=float)
+    if ntime > 1 and parts:
+        tedges = np.linspace(part_times.min(), part_times.max() * (1 + 1e-12) + 1e-12, ntime + 1)
+        tbin_of = np.clip(np.digitize(part_times, tedges) - 1, 0, ntime - 1)
+    else:
+        ntime = 1
+        tbin_of = np.zeros(len(parts), np.int64)
+    time_out = [float(part_times[tbin_of == tb].mean()) if np.any(tbin_of == tb) else 0.0 for tb in range(ntime)]
+
     tasks = [(b, ip, key) for b in range(nband) if bands[b].size for ip, key in enumerate(parts)]
     pool = ThreadPoolExecutor(max_workers=max(1, plan_threads))
     window = max(2, min(plan_threads, 4))  # plans hold device arrays; bound them
@@ -225,11 +237,11 @@ def imager(
         fb = freqs[chans] if chans.size else np.array([freqs.mean()])
         freq_out.append(float(fb.mean()))
 
-    dirty_acc = [np.zeros((nx_im, ny_im)) for _ in range(nband)]
-    psf_acc = [np.zeros((nx_psf, ny_psf)) for _ in range(nband)]
-    wsum_acc = [0.0 for _ in range(nband)]
-    noise_acc = [np.zeros((nx_im, ny_im)) for _ in range(nband)]
-    beam_acc = [np.zeros((nx_im, ny_im)) for _ in range(nband)]
+    dirty_acc = {(b, tb): np.zeros((nx_im, ny_im)) for b in range(nband) for tb in range(ntime)}
+    psf_acc = {k: np.zeros((nx_psf, ny_psf)) for k in dirty_acc}
+    wsum_acc = {k: 0.0 for k in dirty_acc}
+    noise_acc = {k: np.zeros((nx_im, ny_im)) for k in dirty_acc}
+    beam_acc = {k: np.zeros((nx_im, ny_im)) for k in dirty_acc}
     any_beam = False
     nrng = np.random.default_rng(noise_seed)
 
@@ -255,7 +267,8 @@ def imager(
         psf_p = np.asarray(v2d(plan_psf, jnp.asarray(pv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
         wsum_p = float(wgt[mask.astype(bool)].sum())
 
-        node = out.group(band_key(b))
+        tb = int(tbin_of[ip])
+        node = out.group(band_key(b, tb))
         pg = node.group(part_key(ip))
         pg.set_attrs(l0=l0, m0=m0, wsum=wsum_p, key=key)
         pg.write("VIS", vis)
@@ -267,7 +280,7 @@ def imager(
         pg.write("PSFHAT", np.fft.rfft2(np.fft.ifftshift(psf_p)))
         if beam_p is not None:
             pg.write("BEAM", beam_p)
-            beam_acc[b] += wsum_p * beam_p
+            beam_acc[b, tb] += wsum_p * beam_p
             any_beam = True
 
         if do_noise:
@@ -276,11 +289,11 @@ def imager(
             nv = nrng.standard_normal(vis.shape) + 1j * nrng.standard_normal(vis.shape)
             safe_w = np.where(wgt > 0, wgt, 1.0)
             nv = np.where(wgt > 0, nv / np.sqrt(safe_w), 0.0)
-            noise_acc[b] += np.asarray(v2d(plan_im, jnp.asarray(nv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+            noise_acc[b, tb] += np.asarray(v2d(plan_im, jnp.asarray(nv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
 
-        dirty_acc[b] += dirty_p
-        psf_acc[b] += psf_p
-        wsum_acc[b] += wsum_p
+        dirty_acc[b, tb] += dirty_p
+        psf_acc[b, tb] += psf_p
+        wsum_acc[b, tb] += wsum_p
 
     pool.shutdown(wait=False)
 
@@ -288,31 +301,34 @@ def imager(
     psf_mfs = np.zeros((nx_psf, ny_psf))
     wsum_tot = 0.0
     for b in range(nband):
-        node = out.group(band_key(b))
-        dirty_b, psf_b, wsum_b = dirty_acc[b], psf_acc[b], wsum_acc[b]
-        node.write("DIRTY", dirty_b)
-        node.write("PSF", psf_b)
-        node.write("PSFHAT", np.fft.rfft2(np.fft.ifftshift(psf_b)))
-        node.write("WSUM", np.asarray([wsum_b]))
-        if do_noise:
-            node.write("NOISE", noise_acc[b])
-        if any_beam:
-            node.write("BEAM", beam_acc[b] / max(wsum_b, 1e-300))
-        # per-band clean-beam parameters (reference PSFPARSN,
-        # gridder.py:913-920)
-        psfparsn = fitcleanbeam((psf_b / max(wsum_b, 1e-300))[None])[0]
-        node.write("PSFPARSN", np.asarray(psfparsn))
-        node.set_attrs(freq_out=freq_out[b], wsum=wsum_b, niters=0, time_out=0.0)
-        dirty_mfs += dirty_b
-        psf_mfs += psf_b
-        wsum_tot += wsum_b
-        log.info("band %d: wsum=%.3e, dirty peak=%.3e", b, wsum_b, dirty_b.max() / max(wsum_b, 1e-300))
+        for tb in range(ntime):
+            node = out.group(band_key(b, tb))
+            dirty_b, psf_b, wsum_b = dirty_acc[b, tb], psf_acc[b, tb], wsum_acc[b, tb]
+            node.write("DIRTY", dirty_b)
+            node.write("PSF", psf_b)
+            node.write("PSFHAT", np.fft.rfft2(np.fft.ifftshift(psf_b)))
+            node.write("WSUM", np.asarray([wsum_b]))
+            if do_noise:
+                node.write("NOISE", noise_acc[b, tb])
+            if any_beam:
+                node.write("BEAM", beam_acc[b, tb] / max(wsum_b, 1e-300))
+            # per-band clean-beam parameters (reference PSFPARSN,
+            # gridder.py:913-920)
+            psfparsn = fitcleanbeam((psf_b / max(wsum_b, 1e-300))[None])[0]
+            node.write("PSFPARSN", np.asarray(psfparsn))
+            node.set_attrs(freq_out=freq_out[b], wsum=wsum_b, niters=0, time_out=time_out[tb])
+            dirty_mfs += dirty_b
+            psf_mfs += psf_b
+            wsum_tot += wsum_b
+            log.info(
+                "band %d time %d: wsum=%.3e, dirty peak=%.3e", b, tb, wsum_b, dirty_b.max() / max(wsum_b, 1e-300)
+            )
 
     # clean-beam fit on the MFS PSF (reference core/imager.py:780-783)
     psfpars = fitcleanbeam((psf_mfs / max(wsum_tot, 1e-300))[None])[0]
     out.set_attrs(
         nband=nband,
-        ntime=1,
+        ntime=ntime,
         nx=nx_im,
         ny=ny_im,
         nx_psf=nx_psf,

