@@ -125,3 +125,37 @@ def test_hessian_psf_beam_eta():
     x = rng.standard_normal((nx, ny))
     out = np.asarray(hessian_psf(x, ph, nx_psf, ny_psf, beam=beam, eta=0.3))
     np.testing.assert_allclose(out, beam * (beam * x) + 0.3 * x, atol=1e-12)
+
+
+def test_hesspsf_idot_inverts_dot(rng):
+    """HessPSF.idot(mode=psf) approximately inverts dot; mode=direct agrees
+    in the taper interior (reference HessPSF / precond.py:12-154)."""
+    import jax.numpy as jnp
+    from pfb_imaging_tpu.ops.precond import HessPSF
+    from pfb_imaging_tpu.ops.psf import psf_to_psfhat
+
+    nband, nx, nxp = 2, 32, 64
+    psf = np.zeros((nband, nxp, nxp))
+    psf[:, nxp // 2, nxp // 2] = 1.0
+    psf += 0.02 * rng.standard_normal(psf.shape)
+    # real point-symmetric PSF (Hermitian uv weights), as in practice —
+    # |PSFHAT| == PSFHAT and the direct spectral inverse is meaningful
+    psf = 0.5 * (psf + np.roll(psf[:, ::-1, ::-1], (1, 1), axis=(1, 2)))
+    ph = np.abs(np.asarray(psf_to_psfhat(jnp.asarray(psf))))
+    hp = HessPSF(ph, nxp, nxp, eta=1e-3, cg_tol=1e-10, cg_maxit=300, cg_minit=10, taper_width=8)
+    x = jnp.asarray(rng.standard_normal((nband, nx, nx)))
+    y = hp.dot(x)
+    xr = np.asarray(hp.idot(y, mode="psf"))
+    assert np.abs(xr - np.asarray(x)).max() / np.abs(np.asarray(x)).max() < 1e-5
+    # direct mode is a crude spectral inverse (reference runs it with
+    # eta ~ 1): check it on a spectrally well-conditioned PSF
+    psf_d = np.zeros((nband, nxp, nxp))
+    psf_d[:, nxp // 2, nxp // 2] = 1.0
+    ph_d = np.abs(np.asarray(psf_to_psfhat(jnp.asarray(psf_d))))
+    hp_d = HessPSF(ph_d, nxp, nxp, eta=1e-3, taper_width=8)
+    yd = hp_d.dot(x)
+    xd = np.asarray(hp_d.idot(yd, mode="direct"))
+    inner = (slice(None), slice(8, -8), slice(8, -8))
+    num = np.abs(xd[inner] - np.asarray(x)[inner]).mean()
+    den = np.abs(np.asarray(x)[inner]).mean()
+    assert num / den < 0.05

@@ -164,3 +164,24 @@ def test_device_memory_stats():
 
     stats = device_memory_stats()
     assert len(stats) >= 1 and "device" in stats[0]
+
+
+def test_bringup_nan_trap():
+    """The bring-up sanitizer raises at the op producing a NaN (SURVEY
+    §5.2 TPU-equivalent of the reference's accidental write detector)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from pfb_imaging_tpu.utils.debug import bringup_checks
+
+    def bad(x):
+        return jnp.log(x - 2.0)  # negative argument -> NaN
+
+    x = jnp.asarray([1.0])
+    with bringup_checks():
+        with _pytest.raises(FloatingPointError):
+            np.asarray(jax.jit(bad)(x))
+    # traps restored afterwards
+    assert not jax.config.jax_debug_nans
+    np.asarray(jax.jit(bad)(x))  # no raise
