@@ -512,3 +512,38 @@ def test_full_stokes_fsclark_recovery(tmp_path):
     flux_q = m[0, 1, p - 2 : p + 3, q - 2 : q + 3].sum()
     assert flux_i == pytest.approx(1.0, rel=0.3)
     assert flux_q == pytest.approx(0.3, rel=0.4)
+
+
+def test_model2comps_multitime(tmp_path):
+    """model2comps fits the (time, freq) node grid on a multi-time tree."""
+    ms = str(tmp_path / "m2c.ms.tree")
+    store, truth = simulate_vis_store(ms, nant=10, ntime=4, nchan=4, nx=64,
+                                      sources=((0.5, 0.5, 1.0, 0.0),))
+    xds = str(tmp_path / "m2c.xds")
+    dt = str(tmp_path / "m2c.dt")
+    init(ms, xds, product="I")
+    imager(xds, dt, nband=2, ntime=2, nx=truth["nx"],
+           cell_size=np.rad2deg(truth["cell_rad"]) * 3600,
+           robustness=None, epsilon=1e-7, fits_out=False, do_noise=False)
+    tree = TreeStore(dt)
+    # plant a time-varying model: flux doubles in the second time bin
+    for key in tree.groups():
+        if not key.startswith("band"):
+            continue
+        t = int(key.split("_time")[1])
+        m = np.zeros((truth["nx"], truth["nx"]))
+        m[32, 32] = 1.0 + t
+        tree.group(key).write("MODEL", m)
+
+    from pfb_imaging_tpu.core.model2comps import model2comps
+    from pfb_imaging_tpu.utils.modelspec import eval_coeffs_to_slice, load_mds
+
+    model2comps(dt, mds_path=str(tmp_path / "m2c.mds"))
+    coeffs, ix, iy, mattrs = load_mds(TreeStore(str(tmp_path / "m2c.mds")))
+    t0 = tree.group("band0000_time0000").attrs["time_out"]
+    t1 = tree.group("band0000_time0001").attrs["time_out"]
+    f0 = tree.group("band0000_time0000").attrs["freq_out"]
+    m0 = eval_coeffs_to_slice(t0, f0, coeffs, ix, iy, mattrs)
+    m1 = eval_coeffs_to_slice(t1, f0, coeffs, ix, iy, mattrs)
+    assert m0[32, 32] == pytest.approx(1.0, rel=1e-6)
+    assert m1[32, 32] == pytest.approx(2.0, rel=1e-6)
