@@ -793,3 +793,40 @@ def dirty2vis_idg(plan: IDGPlan, image, mask=None, split: bool = False):
     if split:
         return out_ri
     return jax.lax.complex(out_ri[0], out_ri[1])
+
+
+# ── group-layout utilities + vis-space Hessian ───────────────────────
+
+
+@jax.jit
+def to_group_layout(plan: IDGPlan, arr):
+    """(nrow, nchan) real array -> (ng, G) group layout (one row-gather).
+
+    Pay the permutation ONCE per dataset (weights, masks, data vis); the
+    vis-space Hessian and residual evaluations then run with zero gathers.
+    """
+    rdt = plan.phase_re.dtype
+    flat = jnp.concatenate([arr.astype(rdt).reshape(-1), jnp.zeros(1, rdt)])
+    return flat[plan.cg_idx]
+
+
+def hessian_vis_idg(plan: IDGPlan, x, wgt_g=None, beam=None, eta: float = 0.0, wsum=None):
+    """Exact vis-space Hessian B^T R^H W R B x (+ eta x), all group-layout.
+
+    ``wgt_g``: (ng, G) group-layout weights (already masked) from
+    :func:`to_group_layout`. The whole round trip — degrid, weight, grid —
+    is gather-free (the TPU production counterpart of reference
+    hessian_slice, hessian.py:15-100).
+    """
+    xin = x if beam is None else x * beam
+    vals = dirty2vis_idg_grouped(plan, xin)
+    if wgt_g is not None:
+        vals = vals * wgt_g[None]
+    conv = vis2dirty_idg_grouped(plan, vals)
+    if wsum is not None:
+        conv = conv / wsum
+    if beam is not None:
+        conv = conv * beam
+    if eta:
+        conv = conv + eta * x
+    return conv

@@ -155,3 +155,20 @@ def test_idg_f32_path(rng):
     )
     do = np.asarray(vis2dirty_dft(jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(vis), divide_by_n=False, **kw))
     assert np.abs(d - do).max() / np.abs(do).max() < 5e-4
+
+
+def test_hessian_vis_idg_matches_classic(rng):
+    """Group-layout vis-space Hessian == classic-plan hessian_vis."""
+    from pfb_imaging_tpu.ops.gridder import plan_wgridder
+    from pfb_imaging_tpu.ops.gridder_idg import hessian_vis_idg, to_group_layout
+    from pfb_imaging_tpu.ops.hessian import hessian_vis
+
+    uvw, freq, _, kw = _problem(rng, nrow=2000)
+    wgt = rng.uniform(0.5, 2.0, (2000, 2))
+    x = rng.standard_normal((kw["nx"], kw["ny"]))
+    plan_i = plan_idg(uvw, freq, epsilon=EPS, do_wgridding=True, divide_by_n=False, **kw)
+    plan_c = plan_wgridder(uvw, freq, epsilon=1e-10, do_wgridding=True, divide_by_n=False, **kw)
+    wgt_g = to_group_layout(plan_i, jnp.asarray(wgt))
+    h_i = np.asarray(hessian_vis_idg(plan_i, jnp.asarray(x), wgt_g=wgt_g, eta=1e-3))
+    h_c = np.asarray(hessian_vis(plan_c, jnp.asarray(x), wgt=jnp.asarray(wgt), eta=1e-3))
+    assert np.abs(h_i - h_c).max() / np.abs(h_c).max() < 1e-4
