@@ -96,19 +96,41 @@ def deconv(
         if node.has("UPDATE"):
             update[b] = np.asarray(node.read("UPDATE"))
         iter0 = max(iter0, int(node.attrs.get("niters", 0)))
-        # per-partition |PSFHAT| (abs taken at load, reference band_worker.py:95)
+
+        # per-partition |PSFHAT| loader (abs taken at load, reference
+        # band_worker.py:95) — invoked lazily so the meshed path can stream
+        # each band straight onto its shard (round-1 VERDICT weak #8: the
+        # driver-side full stack is hundreds of GB at 8k/16-band scale)
+        def _ph_loader(node=node):
+            parts_ = node.groups()
+            if parts_:
+                return np.stack([np.abs(np.asarray(node.group(p).read("PSFHAT"))) for p in parts_])
+            return np.abs(np.asarray(node.read("PSFHAT")))[None]
+
+        abspsfhat.append(_ph_loader)
         parts = node.groups()
-        ph = np.stack([np.abs(np.asarray(node.group(p).read("PSFHAT"))) for p in parts]) if parts else np.abs(
-            np.asarray(node.read("PSFHAT"))
-        )[None]
-        abspsfhat.append(ph)
         # per-partition primary beams -> the Hessian's B^T ... B
         # (reference HessianTree beam argument; round-1 always ran beam=None)
         if parts and all(node.group(p).has("BEAM") for p in parts):
             beams.append(np.stack([np.asarray(node.group(p).read("BEAM")) for p in parts]))
         else:
             beams.append(None)
-    abspsfhat = np.stack(abspsfhat)  # (nband, npart, nxp, nyo2)
+
+    if use_mesh:
+        import jax as _jax
+
+        from ..parallel.mesh import make_mesh, stream_band_stack
+
+        ndev = len(_jax.devices())
+        band_size = ndev
+        while nband % band_size:
+            band_size -= 1
+        mesh = make_mesh(band=band_size, row=1)
+        ph0 = abspsfhat[0]()
+        abspsfhat = stream_band_stack(mesh, abspsfhat, ph0.shape, ph0.dtype)
+    else:
+        mesh = None
+        abspsfhat = np.stack([ld() for ld in abspsfhat])  # (nband, npart, nxp, nyo2)
     beam_per_band = np.stack(beams) if all(bm is not None for bm in beams) else None
     # band-mean beam: multiplies the residual before the forward solve so
     # the normal equations target the INTRINSIC sky (reference legacy sara
@@ -163,16 +185,12 @@ def deconv(
     if use_mesh:
         # shard the solver's cube state over the band mesh axis — the jitted
         # CG/PD programs then run SPMD with band-sum collectives (replaces
-        # the reference's one-Ray-actor-per-band topology)
+        # the reference's one-Ray-actor-per-band topology); |PSFHAT| is
+        # already band-sharded (streamed above)
         import jax
 
-        from ..parallel.mesh import band_sharding, make_mesh
+        from ..parallel.mesh import band_sharding
 
-        ndev = len(jax.devices())
-        band_size = ndev
-        while nband % band_size:
-            band_size -= 1
-        mesh = make_mesh(band=band_size, row=1)
         spec = band_sharding(mesh)
         put = lambda a: jax.device_put(a, spec)  # noqa: E731
         solver.hess = jax.tree_util.tree_map(
