@@ -548,71 +548,6 @@ def _pad(plan, img):
     return out.at[px0 : px0 + plan.nx, py0 : py0 + plan.ny].set(img)
 
 
-def _overlap_add(plan, lat):
-    """Dense overlap-add of (nb, S, S) lattice patches onto the big grid.
-
-    Patch of bucket (bu, bv) sits at absolute origin (bu*half - k0_off,
-    ...). Split each patch into r x r half-blocks (r = S/half); half-block
-    (a, b) lands at lattice cell (bu + a, bv + b) — r^2 dense placements,
-    then a periodic fold of the overhang. No scatter.
-    """
-    half, S = plan.half, plan.S
-    r = S // half
-    nbu, nbv = plan.nbu, plan.nbv
-    ext_u = (nbu + r - 1) * half
-    ext_v = (nbv + r - 1) * half
-    vals = lat.reshape(nbu, nbv, S, S)
-    out = jnp.zeros((ext_u, ext_v), lat.dtype)
-    for a in range(r):
-        for b in range(r):
-            blk = vals[:, :, a * half : (a + 1) * half, b * half : (b + 1) * half]
-            dense = blk.transpose(0, 2, 1, 3).reshape(nbu * half, nbv * half)
-            out = out.at[a * half : a * half + nbu * half, b * half : b * half + nbv * half].add(dense)
-    # absolute cell of out index t is t - k0_off; fold each axis fully
-    # (head wraps to the top, tail wraps to the bottom; corners resolve
-    # because the second fold acts on the already-u-folded strip)
-    ko = plan.k0_off
-    nbx, nby = plan.nbig_x, plan.nbig_y
-    fu = out[ko : ko + nbx, :]
-    fu = fu.at[nbx - ko :, :].add(out[:ko, :])
-    tail_u = ext_u - nbx - ko
-    if tail_u > 0:
-        fu = fu.at[:tail_u, :].add(out[ko + nbx :, :])
-    fv = fu[:, ko : ko + nby]
-    fv = fv.at[:, nby - ko :].add(fu[:, :ko])
-    tail_v = ext_v - nby - ko
-    if tail_v > 0:
-        fv = fv.at[:, :tail_v].add(fu[:, ko + nby :])
-    return fv
-
-
-def _lattice_extract(plan, grid):
-    """Adjoint of ``_overlap_add``: per-bucket S x S patches from the grid."""
-    half, S = plan.half, plan.S
-    r = S // half
-    nbu, nbv = plan.nbu, plan.nbv
-    ko = plan.k0_off
-    nbx, nby = plan.nbig_x, plan.nbig_y
-    ext_u = (nbu + r - 1) * half
-    ext_v = (nbv + r - 1) * half
-    # rebuild the extended array (exact transpose of the two-axis fold)
-    fu = jnp.concatenate(
-        [grid[nbx - ko :, :], grid] + ([grid[: ext_u - nbx - ko, :]] if ext_u - nbx - ko > 0 else []),
-        axis=0,
-    )
-    out = jnp.concatenate(
-        [fu[:, nby - ko :], fu] + ([fu[:, : ext_v - nby - ko]] if ext_v - nby - ko > 0 else []),
-        axis=1,
-    )
-    lat = jnp.zeros((nbu, nbv, S, S), grid.dtype)
-    for a in range(r):
-        for b in range(r):
-            dense = out[a * half : a * half + nbu * half, b * half : b * half + nbv * half]
-            blk = dense.reshape(nbu, half, nbv, half).transpose(0, 2, 1, 3)
-            lat = lat.at[:, :, a * half : (a + 1) * half, b * half : (b + 1) * half].set(blk)
-    return lat.reshape(nbu * nbv, S, S)
-
-
 @jax.jit
 def _idg_prepare(plan: IDGPlan, vis_re, vis_im, wgt, mask):
     """Weighted, conj-phased, group-gathered values: (2, ng, G).
@@ -644,15 +579,34 @@ def _idg_prepare(plan: IDGPlan, vis_re, vis_im, wgt, mask):
     return jnp.stack([vre, vim])
 
 
+def _n_chunks(plan) -> int:
+    """Static chunk count bounding the per-chunk einsum transients (the
+    (chunk, S, G) complex intermediate) to ~256 MB."""
+    bytes_per_group = plan.S * plan.G * 8
+    return max(1, -(-plan.ngroups * bytes_per_group // (1 << 28)))
+
+
+def _chunk_bounds(plan):
+    nc = _n_chunks(plan)
+    step = -(-plan.ngroups // nc)
+    return [(i, min(i + step, plan.ngroups)) for i in range(0, plan.ngroups, step)]
+
+
 @jax.jit
 def _idg_patches_uv(plan: IDGPlan, vals):
-    """(ng, S, S) complex patch uv samples from group values (adjoint)."""
+    """(ng, S, S) complex patch uv samples from group values (adjoint).
+
+    Chunked over groups so the (chunk, S, G) complex intermediates stay a
+    fraction of HBM (an unchunked 8M-vis call OOM'd at 4096^2)."""
     Au = _cplx(plan.au_re, plan.au_im)
     Av = _cplx(plan.av_re, plan.av_im)
     V = _cplx(vals[0], vals[1])
-    B = Av * V[:, None, :]
-    spatial = jnp.einsum("gxv,gyv->gxy", Au, B, precision=jax.lax.Precision.HIGHEST)
-    return jnp.fft.fft2(spatial)
+    outs = []
+    for s, e in _chunk_bounds(plan):
+        B = Av[s:e] * V[s:e, None, :]
+        spatial = jnp.einsum("gxv,gyv->gxy", Au[s:e], B, precision=jax.lax.Precision.HIGHEST)
+        outs.append(jnp.fft.fft2(spatial))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def _screen(plan, wc, sign, dtype):
@@ -660,20 +614,49 @@ def _screen(plan, wc, sign, dtype):
     return _cplx(jnp.cos(ph).astype(plan.nm1.dtype), jnp.sin(ph).astype(plan.nm1.dtype)).astype(dtype)
 
 
+def _assemble_bin(plan, p_b, bid_b):
+    """Patches of one bin -> big grid, via r^2 quarter-block scatters.
+
+    Memory-lean replacement for the (nbu*nbv, S, S) lattice (which is
+    r^2 x the grid size and OOM'd 4096^2/8M-vis calls): each (a, b) shift
+    scatters its (half, half) patch quarter into a grid-sized dense slab.
+    """
+    half, S = plan.half, plan.S
+    r = S // half
+    nbu, nbv = plan.nbu, plan.nbv
+    ext_u = (nbu + r - 1) * half
+    ext_v = (nbv + r - 1) * half
+    out = jnp.zeros((ext_u, ext_v), p_b.dtype)
+    for a in range(r):
+        for b in range(r):
+            q = p_b[:, a * half : (a + 1) * half, b * half : (b + 1) * half]
+            slab = jnp.zeros((nbu * nbv, half, half), p_b.dtype).at[bid_b].add(q)
+            dense = slab.reshape(nbu, nbv, half, half).transpose(0, 2, 1, 3).reshape(nbu * half, nbv * half)
+            out = out.at[a * half : a * half + nbu * half, b * half : b * half + nbv * half].add(dense)
+    # periodic fold (absolute cell of out index t is t - k0_off)
+    ko = plan.k0_off
+    nbx, nby = plan.nbig_x, plan.nbig_y
+    fu = out[ko : ko + nbx, :]
+    fu = fu.at[nbx - ko :, :].add(out[:ko, :])
+    if ext_u - nbx - ko > 0:
+        fu = fu.at[: ext_u - nbx - ko, :].add(out[ko + nbx :, :])
+    fv = fu[:, ko : ko + nby]
+    fv = fv.at[:, nby - ko :].add(fu[:, :ko])
+    if ext_v - nby - ko > 0:
+        fv = fv.at[:, : ext_v - nby - ko].add(fu[:, ko + nby :])
+    return fv
+
+
 @jax.jit
 def _idg_accumulate_bins(plan: IDGPlan, patches):
-    """Sum per-bin images: seg-add lattice -> overlap-add -> iFFT -> screen."""
+    """Sum per-bin images: quarter-scatter -> fold -> iFFT -> screen."""
     cdt = patches.dtype
-    nb = plan.nbu * plan.nbv
     acc = None
     for b in range(plan.nbins):
         gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
         if gc == 0:
             continue
-        p_b = patches[gs : gs + gc]
-        bid_b = plan.bid[gs : gs + gc]
-        lat = jnp.zeros((nb, plan.S, plan.S), cdt).at[bid_b].add(p_b)
-        grid = _overlap_add(plan, lat)
+        grid = _assemble_bin(plan, patches[gs : gs + gc], plan.bid[gs : gs + gc])
         big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
         a = _crop(plan, jnp.fft.fftshift(big))
         if plan.do_wgridding:
@@ -729,6 +712,34 @@ def vis2dirty_idg(plan: IDGPlan, vis, wgt=None, mask=None, vis_im=None):
 # ── runtime: forward (dirty -> vis), exact conj-transpose ────────────
 
 
+def _extract_bin(plan, grid, bid_b):
+    """Transpose of ``_assemble_bin``: per-group S x S patches from the grid."""
+    half, S = plan.half, plan.S
+    r = S // half
+    nbu, nbv = plan.nbu, plan.nbv
+    ko = plan.k0_off
+    nbx, nby = plan.nbig_x, plan.nbig_y
+    ext_u = (nbu + r - 1) * half
+    ext_v = (nbv + r - 1) * half
+    # exact transpose of the two-axis fold: read the grid periodically
+    fu = jnp.concatenate(
+        [grid[nbx - ko :, :], grid] + ([grid[: ext_u - nbx - ko, :]] if ext_u - nbx - ko > 0 else []),
+        axis=0,
+    )
+    out = jnp.concatenate(
+        [fu[:, nby - ko :], fu] + ([fu[:, : ext_v - nby - ko]] if ext_v - nby - ko > 0 else []),
+        axis=1,
+    )
+    gc = bid_b.shape[0]
+    patches = jnp.zeros((gc, S, S), grid.dtype)
+    for a in range(r):
+        for b in range(r):
+            dense = out[a * half : a * half + nbu * half, b * half : b * half + nbv * half]
+            slab = dense.reshape(nbu, half, nbv, half).transpose(0, 2, 1, 3).reshape(nbu * nbv, half, half)
+            patches = patches.at[:, a * half : (a + 1) * half, b * half : (b + 1) * half].set(slab[bid_b])
+    return patches
+
+
 @jax.jit
 def _idg_bins_to_grid_patches(plan: IDGPlan, image):
     """Forward: image -> per-group patch uv samples (conj-transpose path)."""
@@ -743,8 +754,7 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
             continue
         yb = y * _screen(plan, plan.bin_wc[b], 1.0, cdt) if plan.do_wgridding else y
         grid = jnp.fft.fft2(jnp.fft.ifftshift(_pad(plan, yb)))
-        lat = _lattice_extract(plan, grid)
-        p_b = lat[plan.bid[gs : gs + gc]]
+        p_b = _extract_bin(plan, grid, plan.bid[gs : gs + gc])
         patches = p_b if patches is None else jnp.concatenate([patches, p_b], axis=0)
     return patches
 
@@ -752,12 +762,15 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
 @jax.jit
 def _idg_patches_to_vals(plan: IDGPlan, patches):
     """Forward: patch uv samples -> group-layout values (2, ng, G)."""
-    # adjoint of fft2 is ifft2 * S^2
-    spatial = jnp.fft.ifft2(patches) * (plan.S * plan.S)
     Au = _cplx(plan.au_re, plan.au_im)
     Av = _cplx(plan.av_re, plan.av_im)
-    t = jnp.einsum("gxy,gxv->gyv", spatial, jnp.conj(Au), precision=jax.lax.Precision.HIGHEST)
-    V = jnp.sum(t * jnp.conj(Av), axis=1)  # (ng, G)
+    outs = []
+    for s, e in _chunk_bounds(plan):
+        # adjoint of fft2 is ifft2 * S^2
+        spatial = jnp.fft.ifft2(patches[s:e]) * (plan.S * plan.S)
+        t = jnp.einsum("gxy,gxv->gyv", spatial, jnp.conj(Au[s:e]), precision=jax.lax.Precision.HIGHEST)
+        outs.append(jnp.sum(t * jnp.conj(Av[s:e]), axis=1))  # (chunk, G)
+    V = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return jnp.stack([jnp.real(V), jnp.imag(V)])
 
 
