@@ -54,6 +54,10 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("--no-wgridding", action="store_true")
         p.add_argument("--psf-oversize", type=float, default=2.0)
         p.add_argument("--single-precision", action="store_true")
+        p.add_argument(
+            "--gridder", choices=("auto", "idg", "stack"), default="auto",
+            help="measurement operator backend (auto: idg when epsilon >= 2e-6)",
+        )
         _add_common(p)
 
     for name, preset in (("deconv", None), ("sara", "sara")):
@@ -117,6 +121,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--nx", type=int, default=128)
     p.add_argument("--freq-chunks", type=int, default=1)
+    p.add_argument("--epsilon", type=float, default=1e-7)
+    p.add_argument(
+        "--gridder", choices=("auto", "idg", "stack"), default="auto",
+        help="measurement operator backend (auto: idg when epsilon >= 2e-6)",
+    )
     _add_common(p)
 
     return ap
@@ -151,7 +160,7 @@ def main(argv=None):
             cell_size=args.cell_size, robustness=args.robustness,
             super_uniform_pix=args.super_uniform_pix, epsilon=args.epsilon,
             do_wgridding=not args.no_wgridding, psf_oversize=args.psf_oversize,
-            double_precision=not args.single_precision,
+            double_precision=not args.single_precision, gridder=args.gridder,
         )
     elif cmd in ("deconv", "sara"):
         from .core.deconv import deconv
@@ -191,7 +200,10 @@ def main(argv=None):
     elif cmd == "hci":
         from .core.hci import hci
 
-        hci(args.xds, args.output, nx=args.nx, freq_chunks=args.freq_chunks)
+        hci(
+            args.xds, args.output, nx=args.nx, freq_chunks=args.freq_chunks,
+            epsilon=args.epsilon, gridder=args.gridder,
+        )
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {cmd}")
     return 0

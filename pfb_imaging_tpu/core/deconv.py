@@ -22,7 +22,7 @@ import numpy as np
 from ..deconv.presets import PRESETS
 from ..utils.logging import get_logger
 from ..utils.modelspec import eval_coeffs_to_cube, fit_image_cube, save_mds
-from ..utils.store import TreeStore
+from ..utils.store import TreeStore, require_complete
 from .imager import residual_from_parts
 
 log = get_logger("DECONV")
@@ -58,6 +58,7 @@ def deconv(
     import jax.numpy as jnp
 
     dt = TreeStore(dt_path, mode="w")
+    require_complete(dt)
     attrs = dt.attrs
     nx, ny = attrs["nx"], attrs["ny"]
     nx_psf, ny_psf = attrs["nx_psf"], attrs["ny_psf"]

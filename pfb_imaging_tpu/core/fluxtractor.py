@@ -16,7 +16,7 @@ from ..ops.gridder import plan_wgridder
 from ..ops.hessian import hessian_vis
 from ..opt.pcg import pcg
 from ..utils.logging import get_logger
-from ..utils.store import TreeStore
+from ..utils.store import TreeStore, require_complete
 from .imager import residual_from_parts
 
 log = get_logger("FLUXTRACTOR")
@@ -34,6 +34,7 @@ def fluxtractor(
 ):
     """Returns (model_mopped, residual_mopped)."""
     dt = TreeStore(dt_path, mode="w")
+    require_complete(dt)
     attrs = dt.attrs
     nx, ny = attrs["nx"], attrs["ny"]
     band_nodes = [k for k in dt.groups() if k.startswith("band")]

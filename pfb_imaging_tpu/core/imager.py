@@ -123,6 +123,9 @@ def imager(
             return eval_coeffs_to_slice(t, f, coeffs, mix, miy, mattrs)
 
     out = TreeStore(output_store, mode="w")
+    # invalidate any stale stamp up front: a killed run must not leave a
+    # tree that passes require_complete on the strength of a PREVIOUS run
+    out.set_attrs(complete=False)
 
     # ── pass 1: counts reduction over all partitions per band ────────
     counts_per_band = [np.zeros((1, nx_psf, ny_psf)) for _ in range(nband)]
@@ -340,6 +343,7 @@ def imager(
         wsum=wsum_tot,
         psfpars=list(psfpars),
         product=attrs.get("product", "I"),
+        complete=True,
     )
 
     if fits_out:

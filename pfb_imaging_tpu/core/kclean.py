@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from ..deconv.clark import clark
 from ..deconv.hogbom import hogbom
 from ..utils.logging import get_logger
-from ..utils.store import TreeStore
+from ..utils.store import TreeStore, require_complete
 from .imager import residual_from_parts
 
 log = get_logger("KCLEAN")
@@ -37,6 +37,7 @@ def kclean(
 ):
     """Returns (model, residual). Progress checkpointed into the tree."""
     dt = TreeStore(dt_path, mode="w")
+    require_complete(dt)
     attrs = dt.attrs
     nx, ny = attrs["nx"], attrs["ny"]
     nx_psf, ny_psf = attrs["nx_psf"], attrs["ny_psf"]

@@ -7,7 +7,7 @@ import numpy as np
 
 from ..utils.logging import get_logger
 from ..utils.modelspec import fit_image_cube, save_mds
-from ..utils.store import TreeStore
+from ..utils.store import TreeStore, require_complete
 
 log = get_logger("MODEL2COMPS")
 
@@ -20,6 +20,7 @@ def model2comps(dt_path, mds_path=None, model_name: str = "MODEL", nbasisf: int 
     core/model2comps.py:23-692 fits t/f from dds/FITS; the round-1 build
     was single-time only)."""
     dt = TreeStore(dt_path)
+    require_complete(dt)
     attrs = dt.attrs
     band_nodes = sorted(k for k in dt.groups() if k.startswith("band"))
     nband_f = int(attrs.get("nband", len(band_nodes)))

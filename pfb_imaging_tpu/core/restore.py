@@ -12,7 +12,7 @@ from ..geometry import fitcleanbeam
 from ..utils.fits import save_fits, set_wcs
 from ..utils.logging import get_logger
 from ..utils.restoration import restore_image
-from ..utils.store import TreeStore
+from ..utils.store import TreeStore, require_complete
 
 log = get_logger("RESTORE")
 
@@ -20,6 +20,7 @@ log = get_logger("RESTORE")
 def restore(dt_path, outputs: str = "mMrRiI", fits_base: str | None = None):
     """Write requested FITS products from the deconvolved tree."""
     dt = TreeStore(dt_path)
+    require_complete(dt)
     attrs = dt.attrs
     nx, ny = attrs["nx"], attrs["ny"]
     band_nodes = [k for k in dt.groups() if k.startswith("band")]

@@ -106,3 +106,17 @@ def part_key(part: int) -> str:
 
 def open_store(path, mode="r") -> TreeStore:
     return TreeStore(path, mode=mode)
+
+
+def require_complete(store: TreeStore, producer: str = "imager") -> None:
+    """Fail fast on trees whose producing run never finished.
+
+    Writers stamp ``complete=True`` as their LAST root-attr write; a killed
+    run leaves a structurally-valid tree (band nodes may exist and even be
+    empty) that downstream drivers would otherwise fail on obscurely.
+    """
+    if not store.attrs.get("complete", False):
+        raise RuntimeError(
+            f"{store.path} is missing the completion stamp — the producing "
+            f"`{producer}` run did not finish (or predates the stamp); re-run it"
+        )

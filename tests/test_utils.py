@@ -185,3 +185,22 @@ def test_bringup_nan_trap():
     # traps restored afterwards
     assert not jax.config.jax_debug_nans
     np.asarray(jax.jit(bad)(x))  # no raise
+
+
+def test_require_complete_stamp(tmp_path):
+    """Interrupted imager runs must be detectable: consumers reject trees
+    without the `complete` stamp (a SIGKILLed run leaves a structurally
+    valid but partial tree)."""
+    import pytest as _pytest
+
+    from pfb_imaging_tpu.utils.store import TreeStore, require_complete
+
+    t = TreeStore(tmp_path / "x.dt", mode="w")
+    t.group("band0000_time0000")  # structurally valid, but no stamp
+    with _pytest.raises(RuntimeError, match="completion stamp"):
+        require_complete(t)
+    t.set_attrs(complete=False)  # writer started, never finished
+    with _pytest.raises(RuntimeError, match="completion stamp"):
+        require_complete(t)
+    t.set_attrs(complete=True)
+    require_complete(t)  # no raise
