@@ -76,7 +76,7 @@ def main():
         pass
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + ":" + env.get("PYTHONPATH", "")
-    stages = env.get("BENCH_STAGES", "grid,grid4k,shard1,degrid,hess,hess8k,psi")
+    stages = env.get("BENCH_STAGES", "grid,grid4k,shard1,degrid,hess,hess8k,psi,major")
     child = subprocess.Popen(
         [sys.executable, os.path.join(HERE, "scripts", "bench_child.py"), RESULTS_PATH, stages],
         env=env,

@@ -163,8 +163,11 @@ def lm_grid(nx: int, ny: int, cellx: float, celly: float, l0: float = 0.0, m0: f
     y = np.arange(ny) - ny // 2
     ell = -l0 + x * cellx
     emm = m0 + y * celly
-    ll, mm = np.meshgrid(ell, emm, indexing="ij")
-    nn = np.sqrt(np.maximum(1.0 - ll**2 - mm**2, 0.0))
+    # broadcast views (read-only), not meshgrid copies: at 8k^2 the four
+    # materialised meshgrid/intermediate arrays cost seconds per plan
+    ll = np.broadcast_to(ell[:, None], (nx, ny))
+    mm = np.broadcast_to(emm[None, :], (nx, ny))
+    nn = np.sqrt(np.maximum(1.0 - ell[:, None] ** 2 - emm[None, :] ** 2, 0.0))
     return ll, mm, nn
 
 

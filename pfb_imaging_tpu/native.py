@@ -45,6 +45,20 @@ def _build_and_load():
     lib.uvw_to_pix.argtypes = [f64p, f64p, ctypes.c_int64, ctypes.c_int64] + [ctypes.c_double] * 8 + [f64p] * 5
     lib.wplane_buckets.argtypes = [i64p] + [ctypes.c_int64] * 4 + [i64p] * 3
     lib.apply_perm.argtypes = [f64p, i64p, ctypes.c_int64, f64p]
+    lib.idg_coords.argtypes = (
+        [f64p] * 2
+        + [ctypes.c_int64] * 2
+        + [ctypes.c_double] * 7
+        + [ctypes.c_int64] * 1
+        + [ctypes.c_double] * 7
+        + [ctypes.c_int64] * 6
+        + [i64p]
+        + [f64p] * 6
+    )
+    lib.key_sort_counts.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64] + [i64p] * 4 + [ctypes.POINTER(ctypes.c_int64)]
+    lib.fill_groups.argtypes = (
+        [i64p] * 4 + [ctypes.c_int64] * 2 + [f64p] * 6 + [i64p] + [f64p] * 6 + [i64p]
+    )
     _LIB = lib
     return lib
 
@@ -93,3 +107,80 @@ def wplane_buckets(i0, nw: int, w_supp: int):
     counts = np.empty(nw, dtype=np.int64)
     lib.wplane_buckets(i0, n, n_i0, nw, w_supp, perm, starts, counts)
     return perm, starts, counts
+
+
+def idg_bucket_group(uvw, invlam, signs, cux, cvy, l0, m0, nbins, wmin, binw, alpha,
+                     blsu, bmsv, chiru, chirv, nbig_x, nbig_y, half, nbu, nbv, k0_off, G):
+    """Fused IDG bucketing/grouping (native only; plan_idg falls back to
+    its vectorised numpy path when the library is unavailable).
+
+    Takes the RAW (nrow, 3) uvw + per-channel 1/lambda so the per-vis
+    coordinate outer products and shift phases never materialise in numpy.
+    Returns (order, uniq, starts, counts, per-vis payload dict) ready for
+    the group-layout fill — see native/plan_kernels.cpp:idg_coords.
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    nrow, nchan = uvw.shape[0], invlam.shape[0]
+    n = nrow * nchan
+    su, sv, sw = signs
+    c = np.ascontiguousarray
+    key = np.empty(n, np.int64)
+    du = np.empty(n)
+    dv = np.empty(n)
+    phiu = np.empty(n)
+    phiv = np.empty(n)
+    ph_re = np.empty(n)
+    ph_im = np.empty(n)
+    lib.idg_coords(
+        c(uvw, dtype=np.float64), c(invlam, dtype=np.float64), nrow, nchan,
+        float(su), float(sv), float(sw), float(cux), float(cvy), float(l0), float(m0),
+        nbins, float(wmin), float(binw), float(alpha), float(blsu), float(bmsv),
+        float(chiru), float(chirv), nbig_x, nbig_y, half, nbu, nbv, k0_off,
+        key, du, dv, phiu, phiv, ph_re, ph_im,
+    )
+    nkeys = nbins * nbu * nbv
+    if nkeys > (1 << 27):
+        return None  # histogram too large; numpy argsort path instead
+    order = np.empty(n, np.int64)
+    uniq = np.empty(n, np.int64)
+    starts = np.empty(n, np.int64)
+    counts = np.empty(n, np.int64)
+    noccup = ctypes.c_int64(0)
+    lib.key_sort_counts(key, n, nkeys, order, uniq, starts, counts, ctypes.byref(noccup))
+    m = noccup.value
+    payload = dict(du=du, dv=dv, phiu=phiu, phiv=phiv, ph_re=ph_re, ph_im=ph_im, key=key)
+    return order, uniq[:m].copy(), starts[:m].copy(), counts[:m].copy(), payload
+
+
+def idg_fill_groups(order, starts, counts, gbase, G, ng, nvis, payload):
+    """Group-layout fill (native pass). Returns (cg_idx, du_g, dv_g,
+    phiu_g, phiv_g, phase_g, inv_orig)."""
+    lib = _build_and_load()
+    noccup = starts.size
+    cg_idx = np.full(ng * G, nvis, np.int64)
+    du_g = np.zeros(ng * G)
+    dv_g = np.zeros(ng * G)
+    phiu_g = np.zeros(ng * G)
+    phiv_g = np.zeros(ng * G)
+    phre_g = np.zeros(ng * G)
+    phim_g = np.zeros(ng * G)
+    inv_orig = np.empty(nvis, np.int64)
+    c = np.ascontiguousarray
+    lib.fill_groups(
+        c(order), c(starts), c(counts), c(gbase, dtype=np.int64), noccup, G,
+        payload["du"], payload["dv"], payload["phiu"], payload["phiv"],
+        payload["ph_re"], payload["ph_im"],
+        cg_idx, du_g, dv_g, phiu_g, phiv_g, phre_g, phim_g, inv_orig,
+    )
+    shape = (ng, G)
+    return (
+        cg_idx.reshape(shape),
+        du_g.reshape(shape),
+        dv_g.reshape(shape),
+        phiu_g.reshape(shape),
+        phiv_g.reshape(shape),
+        (phre_g + 1j * phim_g).reshape(shape),
+        inv_orig,
+    )

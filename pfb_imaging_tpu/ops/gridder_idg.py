@@ -237,6 +237,34 @@ def _good_multiple(n: int, m: int) -> int:
     return s
 
 
+@jax.jit
+def _build_A_slab(dus, phi, wc_re, wc_im, xc):
+    """One slab of the on-device A~ build: Z = e^{i(dus*xc + phi*xc^2)}
+    followed by the folded-DFT contraction A~ = (W diag(c)) Z."""
+    ph = dus[:, None, :] * xc[None, :, None] + phi[:, None, :] * (xc**2)[None, :, None]
+    zr = jnp.cos(ph)
+    zi = jnp.sin(ph)
+    hp = partial(jnp.einsum, "kx,gxv->gkv", precision=jax.lax.Precision.HIGHEST)
+    are = hp(wc_re, zr) - hp(wc_im, zi)
+    aim = hp(wc_re, zi) + hp(wc_im, zr)
+    return are, aim
+
+
+def _build_A_matrices(dus, phi, wc_re, wc_im, xc):
+    """Device-side IDG phase-matrix build, slabbed so the (slab, S, G)
+    transients stay ~0.5 GB (one extra compile for the ragged tail)."""
+    ng, G = dus.shape
+    S = xc.shape[0]
+    slab = max(1, (1 << 29) // max(1, S * G * dus.dtype.itemsize))
+    if ng <= slab:
+        return _build_A_slab(dus, phi, wc_re, wc_im, xc)
+    res = [
+        _build_A_slab(dus[s : s + slab], phi[s : s + slab], wc_re, wc_im, xc)
+        for s in range(0, ng, slab)
+    ]
+    return jnp.concatenate([r[0] for r in res]), jnp.concatenate([r[1] for r in res])
+
+
 def plan_idg(
     uvw: np.ndarray,
     freq: np.ndarray,
@@ -290,24 +318,25 @@ def plan_idg(
     nbv = nbig_y // half
 
     invlam = freq / LIGHTSPEED
-    u_l = su * np.multiply.outer(uvw[:, 0], invlam)
-    v_l = sv * np.multiply.outer(uvw[:, 1], invlam)
-    w_l = sw * np.multiply.outer(uvw[:, 2], invlam)
-    u_pix = (u_l * cellx * nbig_x).ravel()
-    v_pix = (v_l * celly * nbig_y).ravel()
-    w_lam = w_l.ravel()
-    nvis = u_pix.size
-
-    # phase-centre shift (forward): e^{-2 pi i (u' lshift + v' mshift)}
-    shift_cycles = u_l.ravel() * (-l0) + v_l.ravel() * m0
-    phase_fwd = np.exp(-2j * np.pi * shift_cycles)
+    nvis = nrow * nchan
+    cux = cellx * nbig_x
+    cvy = celly * nbig_y
+    # w extremes WITHOUT the (nrow, nchan) outer product: invlam > 0, so
+    # each row's extremes occur at the band edges
+    if nvis:
+        wrow = sw * uvw[:, 2]
+        wext = np.array([wrow.min(), wrow.max()])
+        wall = np.concatenate([wext * invlam.min(), wext * invlam.max()])
+        w_min_all, w_max_all = float(wall.min()), float(wall.max())
+    else:
+        w_min_all = w_max_all = 0.0
 
     _, _, nn = lm_grid(nx, ny, cellx, celly, l0, m0)
     nm1 = nn - 1.0
 
     # ── w handling: Taylor expansion of n-1 at the field centre ──────
     # n-1 = alpha + bl*dl + bm*dm + gl*dl^2 + gm*dm^2 + rho(l, m)
-    do_w = bool(do_wgridding) and bool(np.any(np.abs(w_lam) > 0))
+    do_w = bool(do_wgridding) and max(abs(w_min_all), abs(w_max_all)) > 0
     # the image centre sits at (l, m) = (-l0, +m0) (geometry.lm_grid)
     cl, cm = -l0, m0
     n0 = float(np.sqrt(max(1.0 - cl * cl - cm * cm, 1e-12)))
@@ -315,19 +344,25 @@ def plan_idg(
     bl, bm = -cl / n0, -cm / n0
     gl = -(1.0 - cm * cm) / (2.0 * n0**3)
     gm = -(1.0 - cl * cl) / (2.0 * n0**3)
-    jx = (np.arange(nx) - nx // 2) * cellx
-    jy = (np.arange(ny) - ny // 2) * celly
-    dl2d, dm2d = np.meshgrid(jx, jy, indexing="ij")
-    taylor2 = alpha + bl * dl2d + bm * dm2d + gl * dl2d**2 + gm * dm2d**2
-    resid_max = float(np.abs(nm1 - taylor2).max())
+    # residual bound on a strided sample (plus edge rows/cols) with a 10%
+    # safety margin: rho is smooth/quartic, and full-grid evaluation costs
+    # seconds of meshgrid copies at 8k^2 for a bin-width heuristic
+    ix = np.unique(np.append(np.arange(0, nx, max(1, nx // 256)), nx - 1))
+    iy = np.unique(np.append(np.arange(0, ny, max(1, ny // 256)), ny - 1))
+    jx = (ix - nx // 2) * cellx
+    jy = (iy - ny // 2) * celly
+    taylor2 = alpha + bl * jx[:, None] + bm * jy[None, :] + gl * jx[:, None] ** 2 + gm * jy[None, :] ** 2
+    resid_max = float(np.abs(nm1[np.ix_(ix, iy)] - taylor2).max())
+    if nx > 256 or ny > 256:
+        resid_max *= 1.1
 
     if force_w_range is not None:
         do_w = True
     if do_w:
-        wmin, wmax = float(w_lam.min()) if w_lam.size else 0.0, float(w_lam.max()) if w_lam.size else 0.0
+        wmin, wmax = w_min_all, w_max_all
         if force_w_range is not None:
             fw0, fw1, fnb = force_w_range
-            if w_lam.size and (wmin < fw0 - 1e-9 or wmax > fw1 + 1e-9):
+            if nvis and (wmin < fw0 - 1e-9 or wmax > fw1 + 1e-9):
                 raise ValueError("force_w_range does not cover this shard's w range")
             wmin, wmax = float(fw0), float(fw1)
         ximax_x = nx / (2.0 * nbig_x) + 0.01
@@ -348,71 +383,125 @@ def plan_idg(
             )
         edges = np.linspace(wmin, wmax, nbins + 1)
         wc = 0.5 * (edges[:-1] + edges[1:])
-        # clamp the top edge into the last bin
-        bin_of = np.clip(np.searchsorted(edges, w_lam, side="right") - 1, 0, nbins - 1)
-        dw = w_lam - wc[bin_of]
     else:
         nbins = 1
         wc = np.zeros(1)
-        bin_of = np.zeros(nvis, np.int64)
-        dw = np.zeros(nvis)
 
-    # fold the dw Taylor terms into per-vis quantities:
+    # dw Taylor-fold constants (per unit dw):
     #   constant: forward phase e^{+2 pi i dw alpha}
     #   linear:   u_eff = u_pix - dw * bl * nbig_x * cellx (adjoint wants
     #             e^{-2 pi i dw bl dl}; response carries e^{+2 pi i du xi})
     #   quadratic: separable chirp phi_axis = -2 pi dw g (nbig cell)^2/S^2
-    phase_fwd = phase_fwd * np.exp(2j * np.pi * dw * alpha)
-    u_eff = u_pix - dw * bl * nbig_x * cellx
-    v_eff = v_pix - dw * bm * nbig_y * celly
-    phi_u = -2.0 * np.pi * dw * gl * (nbig_x * cellx) ** 2 / S**2
-    phi_v = -2.0 * np.pi * dw * gm * (nbig_y * celly) ** 2 / S**2
+    blsu = bl * nbig_x * cellx
+    bmsv = bm * nbig_y * celly
+    chiru = -2.0 * np.pi * gl * (nbig_x * cellx) ** 2 / S**2
+    chirv = -2.0 * np.pi * gm * (nbig_y * celly) ** 2 / S**2
+    binw = (wmax - wmin) / nbins if do_w else 0.0
+    wlo = w_min_all if do_w else 0.0
+    whi = w_max_all if do_w else 0.0
 
-    # ── bucketing + grouping (vectorised host pass) ──────────────────
-    um = np.mod(u_eff, nbig_x)
-    vm = np.mod(v_eff, nbig_y)
-    bu = np.minimum((um // half).astype(np.int64), nbu - 1)
-    bv = np.minimum((vm // half).astype(np.int64), nbv - 1)
-    key = (bin_of * nbu + bu) * nbv + bv
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    uniq, starts, counts = np.unique(key_s, return_index=True, return_counts=True)
-    gper = -(-counts // G)  # ceil
-    gbase = np.concatenate([[0], np.cumsum(gper)])
-    ng = int(gbase[-1])
-    # position of each sorted vis within its bucket
-    pos = np.arange(nvis) - np.repeat(starts, counts)
-    bucket_rank = np.repeat(np.arange(uniq.size), counts)
-    g_of = gbase[bucket_rank] + pos // G
-    slot_of = pos % G
+    # ── bucketing + grouping ─────────────────────────────────────────
+    # Native fused pass (OpenMP coords + counting sort + group fill,
+    # native/plan_kernels.cpp); the vectorised numpy path below is the
+    # executable spec it is parity-tested against and the fallback when
+    # the library is unavailable or the key histogram would be too large.
+    from ..native import idg_bucket_group, idg_fill_groups
 
-    # combined gather index: group slot -> ORIGINAL flat (row*chan) index
-    cg_idx = np.full((ng, G), nvis, np.int64)
-    cg_idx[g_of, slot_of] = order
-    du_g = np.zeros((ng, G))
-    dv_g = np.zeros((ng, G))
-    phiu_g = np.zeros((ng, G))
-    phiv_g = np.zeros((ng, G))
-    bu_s = bu[order]
-    bv_s = bv[order]
-    du_g[g_of, slot_of] = um[order] - (bu_s * half - k0_off)
-    dv_g[g_of, slot_of] = vm[order] - (bv_s * half - k0_off)
-    phiu_g[g_of, slot_of] = phi_u[order]
-    phiv_g[g_of, slot_of] = phi_v[order]
-    # per-group bucket id and bin (all rows of a group share them)
-    bid_g = np.zeros(ng, np.int64)
-    bin_g = np.zeros(ng, np.int64)
-    bid_g[g_of] = bu_s * nbv + bv_s
-    bin_g[g_of] = bin_of[order]
-    # per-bin group ranges (groups are bin-sorted because key is)
-    bin_gstart = np.searchsorted(bin_g, np.arange(nbins), side="left")
-    bin_gend = np.searchsorted(bin_g, np.arange(nbins), side="right")
-    bin_gcount = bin_gend - bin_gstart
+    nat = idg_bucket_group(
+        uvw, invlam, (su, sv, sw), cux, cvy, l0, m0, nbins,
+        float(wmin) if do_w else 0.0, float(binw), float(alpha), float(blsu),
+        float(bmsv), float(chiru), float(chirv), nbig_x, nbig_y, half, nbu, nbv,
+        k0_off, G,
+    )
+    if nat is not None:
+        order, uniq, starts, counts, payload = nat
+        gper = -(-counts // G)  # ceil: groups per occupied bucket
+        gbase = np.concatenate([[0], np.cumsum(gper)])
+        ng = int(gbase[-1])
+        bin_u = uniq // (nbu * nbv)  # w-bin of each occupied bucket
+        bid_u = uniq % (nbu * nbv)
+        # buckets are key-sorted, so groups are bin-contiguous
+        bin_gcount = np.zeros(nbins, np.int64)
+        np.add.at(bin_gcount, bin_u, gper)
+        bin_gstart = np.concatenate([[0], np.cumsum(bin_gcount)])[:-1]
+        if count_only:
+            return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi)
+        cg_idx, du_g, dv_g, phiu_g, phiv_g, phase_g, inv_orig = idg_fill_groups(
+            order, starts, counts, gbase[:-1], G, ng, nvis, payload
+        )
+        bid_g = np.repeat(bid_u, gper)
+    else:
+        u_l = su * np.multiply.outer(uvw[:, 0], invlam)
+        v_l = sv * np.multiply.outer(uvw[:, 1], invlam)
+        w_lam = (sw * np.multiply.outer(uvw[:, 2], invlam)).ravel()
+        u_pix = (u_l * cux).ravel()
+        v_pix = (v_l * cvy).ravel()
+        # phase-centre shift (forward): e^{-2 pi i (u' lshift + v' mshift)}
+        shift_cycles = u_l.ravel() * (-l0) + v_l.ravel() * m0
+        phase_fwd = np.exp(-2j * np.pi * shift_cycles)
+        if do_w:
+            # clamp the top edge into the last bin
+            bin_of = np.clip(np.searchsorted(edges, w_lam, side="right") - 1, 0, nbins - 1)
+            dw = w_lam - wc[bin_of]
+        else:
+            bin_of = np.zeros(nvis, np.int64)
+            dw = np.zeros(nvis)
+        phase_fwd = phase_fwd * np.exp(2j * np.pi * dw * alpha)
+        u_eff = u_pix - dw * blsu
+        v_eff = v_pix - dw * bmsv
+        phi_u = chiru * dw
+        phi_v = chirv * dw
 
-    if count_only:
-        wlo = float(w_lam.min()) if (do_w and w_lam.size) else 0.0
-        whi = float(w_lam.max()) if (do_w and w_lam.size) else 0.0
-        return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi)
+        um = np.mod(u_eff, nbig_x)
+        vm = np.mod(v_eff, nbig_y)
+        bu = np.minimum((um // half).astype(np.int64), nbu - 1)
+        bv = np.minimum((vm // half).astype(np.int64), nbv - 1)
+        key = (bin_of * nbu + bu) * nbv + bv
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        uniq, starts, counts = np.unique(key_s, return_index=True, return_counts=True)
+        gper = -(-counts // G)  # ceil
+        gbase = np.concatenate([[0], np.cumsum(gper)])
+        ng = int(gbase[-1])
+        # position of each sorted vis within its bucket
+        pos = np.arange(nvis) - np.repeat(starts, counts)
+        bucket_rank = np.repeat(np.arange(uniq.size), counts)
+        g_of = gbase[bucket_rank] + pos // G
+        slot_of = pos % G
+
+        # combined gather index: group slot -> ORIGINAL flat (row*chan) index
+        cg_idx = np.full((ng, G), nvis, np.int64)
+        cg_idx[g_of, slot_of] = order
+        du_g = np.zeros((ng, G))
+        dv_g = np.zeros((ng, G))
+        phiu_g = np.zeros((ng, G))
+        phiv_g = np.zeros((ng, G))
+        bu_s = bu[order]
+        bv_s = bv[order]
+        du_g[g_of, slot_of] = um[order] - (bu_s * half - k0_off)
+        dv_g[g_of, slot_of] = vm[order] - (bv_s * half - k0_off)
+        phiu_g[g_of, slot_of] = phi_u[order]
+        phiv_g[g_of, slot_of] = phi_v[order]
+        # per-group bucket id and bin (all rows of a group share them)
+        bid_g = np.zeros(ng, np.int64)
+        bin_g = np.zeros(ng, np.int64)
+        bid_g[g_of] = bu_s * nbv + bv_s
+        bin_g[g_of] = bin_of[order]
+        # per-bin group ranges (groups are bin-sorted because key is)
+        bin_gstart = np.searchsorted(bin_g, np.arange(nbins), side="left")
+        bin_gend = np.searchsorted(bin_g, np.arange(nbins), side="right")
+        bin_gcount = bin_gend - bin_gstart
+
+        if count_only:
+            return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi)
+
+        # inverse map for degrid: ORIGINAL flat index -> flat (g*G + slot)
+        inv_orig = np.empty(nvis, np.int64)
+        inv_orig[order] = g_of * G + slot_of
+        # forward per-vis phase in group layout (sentinel slots get 0 so
+        # the padded row contributes nothing either way)
+        phase_g = np.zeros((ng, G), np.complex128)
+        phase_g[g_of, slot_of] = phase_fwd[order]
 
     if bin_gcap is not None:
         # pad every bin's group block to its forced capacity: sentinel
@@ -439,20 +528,12 @@ def plan_idg(
         dv_g = _pad_groups(dv_g, 0.0)
         phiu_g = _pad_groups(phiu_g, 0.0)
         phiv_g = _pad_groups(phiv_g, 0.0)
+        phase_g = _pad_groups(phase_g, 0.0)
         bid_g = _pad_groups(bid_g, 0)
-        g_of = remap[g_of]
+        inv_orig = remap[inv_orig // G] * G + inv_orig % G
         ng = new_ng
         bin_gstart = new_start
         bin_gcount = np.asarray(bin_gcap, np.int64)
-
-    # inverse map for degrid: ORIGINAL flat index -> flat (g*G + slot)
-    # (g_of/slot_of are indexed by sorted position; order maps back)
-    inv_orig = np.empty(nvis, np.int64)
-    inv_orig[order] = g_of * G + slot_of
-    # forward per-vis phase in group layout (sentinel slots get 0 so the
-    # padded row contributes nothing either way)
-    phase_g = np.zeros((ng, G), np.complex128)
-    phase_g[g_of, slot_of] = phase_fwd[order]
 
     # ── taper fit + phase matrices ───────────────────────────────────
     ximax_x = nx / (2.0 * nbig_x) + 0.01
@@ -464,23 +545,29 @@ def plan_idg(
     xc = np.fft.fftfreq(S) * S
     rdt = np.float32 if dtype == np.float32 else np.float64
 
-    def build_A(du, phi, c1d):
-        # (ng, S, G) = c[x] * exp(i(2 pi du x / S + phi x^2)), chunked
-        out_re = np.empty((ng, S, G), rdt)
-        out_im = np.empty((ng, S, G), rdt)
-        chunk = max(1, (1 << 22) // (S * G))
-        for i in range(0, ng, chunk):
-            ph = (
-                2.0 * np.pi / S * np.einsum("gv,x->gxv", du[i : i + chunk], xc)
-                + np.einsum("gv,x->gxv", phi[i : i + chunk], xc**2)
-            )
-            block = c1d[None, :, None] * np.exp(1j * ph)
-            out_re[i : i + chunk] = block.real
-            out_im[i : i + chunk] = block.imag
-        return out_re, out_im
-
-    au_re, au_im = build_A(du_g, phiu_g, cu)
-    av_re, av_im = build_A(dv_g, phiv_g, cv)
+    # Patch-DFT fold: the runtime's per-patch fft2 is absorbed into the A
+    # matrices here (A~ = W diag(c) Z with W the S-point DFT matrix), so
+    # the runtime einsums produce patch UV samples directly — no
+    # (ng, S, S) FFT and none of its 8x lane-padded copies (TPU tiles pad
+    # a trailing 16 up to 128; the per-patch FFT was 2.4 GB of padded
+    # temps at 4k). The build itself runs ON DEVICE (_build_A_matrices):
+    # it is 0.5 G sincos + a (S, S) DFT matmul over every (group, slot) —
+    # VPU/MXU food that took 93 s in numpy and ~24 s in native OpenMP at
+    # 4096^2/8M vis, and milliseconds on the chip.
+    W = np.exp(-2j * np.pi * np.outer(np.arange(S), np.arange(S)) / S)
+    wcu = W * cu[None, :]
+    wcv = W * cv[None, :]
+    tfac = 2.0 * np.pi / S
+    au_re, au_im = _build_A_matrices(
+        jnp.asarray((tfac * du_g).astype(rdt)), jnp.asarray(phiu_g.astype(rdt)),
+        jnp.asarray(wcu.real.astype(rdt)), jnp.asarray(wcu.imag.astype(rdt)),
+        jnp.asarray(xc.astype(rdt)),
+    )
+    av_re, av_im = _build_A_matrices(
+        jnp.asarray((tfac * dv_g).astype(rdt)), jnp.asarray(phiv_g.astype(rdt)),
+        jnp.asarray(wcv.real.astype(rdt)), jnp.asarray(wcv.imag.astype(rdt)),
+        jnp.asarray(xc.astype(rdt)),
+    )
 
     # ── image correction: 1/(Tu(xi_x) Tv(xi_y)) [ / n ] ──────────────
     xix = (np.arange(nx) - nx // 2) / nbig_x
@@ -579,34 +666,29 @@ def _idg_prepare(plan: IDGPlan, vis_re, vis_im, wgt, mask):
     return jnp.stack([vre, vim])
 
 
-def _n_chunks(plan) -> int:
-    """Static chunk count bounding the per-chunk einsum transients (the
-    (chunk, S, G) complex intermediate) to ~256 MB."""
-    bytes_per_group = plan.S * plan.G * 8
-    return max(1, -(-plan.ngroups * bytes_per_group // (1 << 28)))
-
-
-def _chunk_bounds(plan):
-    nc = _n_chunks(plan)
-    step = -(-plan.ngroups // nc)
-    return [(i, min(i + step, plan.ngroups)) for i in range(0, plan.ngroups, step)]
+def _ebat(a, b):
+    """Batched (S, G) x (S, G)^T real einsum contracting the vis slot."""
+    return jnp.einsum("gxv,gyv->gxy", a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def _idg_patches_uv(plan: IDGPlan, vals):
-    """(ng, S, S) complex patch uv samples from group values (adjoint).
+    """(2, ng, S, S) patch uv samples (re, im) from group values (adjoint).
 
-    Chunked over groups so the (chunk, S, G) complex intermediates stay a
-    fraction of HBM (an unchunked 8M-vis call OOM'd at 4096^2)."""
-    Au = _cplx(plan.au_re, plan.au_im)
-    Av = _cplx(plan.av_re, plan.av_im)
-    V = _cplx(vals[0], vals[1])
-    outs = []
-    for s, e in _chunk_bounds(plan):
-        B = Av[s:e] * V[s:e, None, :]
-        spatial = jnp.einsum("gxv,gyv->gxy", Au[s:e], B, precision=jax.lax.Precision.HIGHEST)
-        outs.append(jnp.fft.fft2(spatial))
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    The complex patch evaluation A~u (V A~v^T) — with the S-point DFT
+    already folded into the A matrices at plan time — is expanded into
+    FOUR real einsums over the plan's au_re/au_im/av_re/av_im arrays
+    directly: no (ng, S, G) complex copies of the A matrices ever
+    materialise, and no per-patch FFT runs. (The complex-einsum form
+    needed 3 c64 copies — 5 GB at 4096^2/8M vis, the round-2 OOM; and
+    chunked/sliced einsums run ~60x slower than one big batch on this
+    runtime, docs/tpu-runtime-notes.md.)"""
+    vre, vim = vals[0][:, None, :], vals[1][:, None, :]
+    bre = plan.av_re * vre - plan.av_im * vim
+    bim = plan.av_re * vim + plan.av_im * vre
+    p_re = _ebat(plan.au_re, bre) - _ebat(plan.au_im, bim)
+    p_im = _ebat(plan.au_re, bim) + _ebat(plan.au_im, bre)
+    return jnp.stack([p_re, p_im])
 
 
 def _screen(plan, wc, sign, dtype):
@@ -614,26 +696,12 @@ def _screen(plan, wc, sign, dtype):
     return _cplx(jnp.cos(ph).astype(plan.nm1.dtype), jnp.sin(ph).astype(plan.nm1.dtype)).astype(dtype)
 
 
-def _assemble_bin(plan, p_b, bid_b):
-    """Patches of one bin -> big grid, via r^2 quarter-block scatters.
-
-    Memory-lean replacement for the (nbu*nbv, S, S) lattice (which is
-    r^2 x the grid size and OOM'd 4096^2/8M-vis calls): each (a, b) shift
-    scatters its (half, half) patch quarter into a grid-sized dense slab.
-    """
-    half, S = plan.half, plan.S
-    r = S // half
-    nbu, nbv = plan.nbu, plan.nbv
-    ext_u = (nbu + r - 1) * half
-    ext_v = (nbv + r - 1) * half
-    out = jnp.zeros((ext_u, ext_v), p_b.dtype)
-    for a in range(r):
-        for b in range(r):
-            q = p_b[:, a * half : (a + 1) * half, b * half : (b + 1) * half]
-            slab = jnp.zeros((nbu * nbv, half, half), p_b.dtype).at[bid_b].add(q)
-            dense = slab.reshape(nbu, nbv, half, half).transpose(0, 2, 1, 3).reshape(nbu * half, nbv * half)
-            out = out.at[a * half : a * half + nbu * half, b * half : b * half + nbv * half].add(dense)
-    # periodic fold (absolute cell of out index t is t - k0_off)
+def _fold_extended(plan, out):
+    """Periodic fold of the (ext_u, ext_v) extended array onto the big
+    grid (absolute cell of extended index t is t - k0_off)."""
+    r = plan.S // plan.half
+    ext_u = (plan.nbu + r - 1) * plan.half
+    ext_v = (plan.nbv + r - 1) * plan.half
     ko = plan.k0_off
     nbx, nby = plan.nbig_x, plan.nbig_y
     fu = out[ko : ko + nbx, :]
@@ -647,16 +715,97 @@ def _assemble_bin(plan, p_b, bid_b):
     return fv
 
 
+def _ext_dims(plan):
+    r = plan.S // plan.half
+    return (plan.nbu + r - 1) * plan.half, (plan.nbv + r - 1) * plan.half
+
+
+def _blk_dims(plan):
+    """Blocked (half x half subphase) grid: R_u x R_v blocks of half cells."""
+    r = plan.S // plan.half
+    return plan.nbu + r - 1, plan.nbv + r - 1
+
+
+def _sel_quarter(S, half, a, b, dtype):
+    """One-hot (S*S, half*half) lane-selection matrix for quarter (a, b):
+    patch-flat lane (a*half+i)*S + (b*half+j) -> quarter lane i*half+j."""
+    sel = np.zeros((S * S, half * half), np.float64)
+    for i in range(half):
+        for j in range(half):
+            sel[(a * half + i) * S + (b * half + j), i * half + j] = 1.0
+    return jnp.asarray(sel, dtype)
+
+
+_MM = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+def _assemble_bin(plan, p_b, bid_b):
+    """Patches of one bin -> big grid, with no lane-padded big buffers
+    and no windowed scatters (both measured fatal, docs/perf.md):
+
+      * TPU tiles lane-pad a trailing 16 up to 128, so every
+        (N, S, S)-shaped bucket-lattice / quarter-slab intermediate is
+        8x its logical size (8 GB at 4096^2 — the round-2 compile OOM).
+        All big intermediates here keep >=S*S lanes or are 2D.
+      * Windowed 2D scatters serialise (~5 us/update: 1.6 s for 158k
+        groups); only whole-minor-row scatters vectorise. The ONE
+        scatter here is exactly that: (gc, S^2) patch rows into the
+        (R_u*R_v, S^2) origin lattice.
+
+    Placement then runs dense: one-hot (S^2, half^2) matmuls split each
+    origin cell into r^2 quarters (exact under HIGHEST: 0/1 weights) that
+    shift-add into the blocked grid L[t_u, t_v, su*half+sv], and a pure
+    subphase relayout unblocks L to the extended plane. Re/im planes stay
+    f32 until the big iFFT.
+    """
+    S, half = plan.S, plan.half
+    r = S // half
+    nbu, nbv = plan.nbu, plan.nbv
+    R_u, R_v = _blk_dims(plan)
+    gc = p_b.shape[1]
+    on_tpu = jax.devices()[0].platform != "cpu"
+    planes = []
+    for c in range(2):
+        flat = p_b[c].reshape(gc, S * S)
+        orig = jnp.zeros((nbu * nbv, S * S), flat.dtype).at[bid_b].add(flat)
+        if on_tpu:
+            L = jnp.zeros((R_u, R_v, half * half), flat.dtype)
+            for a in range(r):
+                for b in range(r):
+                    q = _MM(orig, _sel_quarter(S, half, a, b, flat.dtype)).reshape(nbu, nbv, half * half)
+                    L = L.at[a : a + nbu, b : b + nbv, :].add(q)
+            # unblock: ext[t*half + su, :] = L[t, :, su*half : (su+1)*half]
+            D = jnp.stack([L[:, :, su * half : (su + 1) * half].reshape(R_u, R_v * half) for su in range(half)])
+            ext = D.transpose(1, 0, 2).reshape(R_u * half, R_v * half)
+        else:
+            # CPU: the one-hot matmuls are pure data movement — do them as
+            # strided slices (the lane-padding they exist to avoid is a
+            # TPU tiling artefact; on CPU slices are near-free and the
+            # matmuls are grid-sized f64 GEMMs)
+            O4 = orig.reshape(nbu, nbv, S, S)
+            L = jnp.zeros((R_u, R_v, half, half), flat.dtype)
+            for a in range(r):
+                for b in range(r):
+                    q = O4[:, :, a * half : (a + 1) * half, b * half : (b + 1) * half]
+                    L = L.at[a : a + nbu, b : b + nbv, :, :].add(q)
+            ext = L.transpose(0, 2, 1, 3).reshape(R_u * half, R_v * half)
+        planes.append(_fold_extended(plan, ext))
+    return _cplx(planes[0], planes[1])
+
+
 @jax.jit
 def _idg_accumulate_bins(plan: IDGPlan, patches):
-    """Sum per-bin images: quarter-scatter -> fold -> iFFT -> screen."""
-    cdt = patches.dtype
+    """Sum per-bin images: windowed scatter -> fold -> iFFT -> screen.
+
+    ``patches`` is the stacked (2, ng, S, S) re/im output of
+    ``_idg_patches_uv``."""
+    cdt = jnp.complex64 if patches.dtype == jnp.float32 else jnp.complex128
     acc = None
     for b in range(plan.nbins):
         gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
         if gc == 0:
             continue
-        grid = _assemble_bin(plan, patches[gs : gs + gc], plan.bid[gs : gs + gc])
+        grid = _assemble_bin(plan, patches[:, gs : gs + gc], plan.bid[gs : gs + gc])
         big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
         a = _crop(plan, jnp.fft.fftshift(big))
         if plan.do_wgridding:
@@ -713,14 +862,14 @@ def vis2dirty_idg(plan: IDGPlan, vis, wgt=None, mask=None, vis_im=None):
 
 
 def _extract_bin(plan, grid, bid_b):
-    """Transpose of ``_assemble_bin``: per-group S x S patches from the grid."""
-    half, S = plan.half, plan.S
-    r = S // half
-    nbu, nbv = plan.nbu, plan.nbv
+    """Transpose of ``_assemble_bin``: per-group S x S windows of the grid.
+
+    Periodic extension (exact transpose of the fold), then ONE windowed
+    2D gather per re/im plane. Returns stacked (2, gc, S, S) f32."""
+    S = plan.S
     ko = plan.k0_off
     nbx, nby = plan.nbig_x, plan.nbig_y
-    ext_u = (nbu + r - 1) * half
-    ext_v = (nbv + r - 1) * half
+    ext_u, ext_v = _ext_dims(plan)
     # exact transpose of the two-axis fold: read the grid periodically
     fu = jnp.concatenate(
         [grid[nbx - ko :, :], grid] + ([grid[: ext_u - nbx - ko, :]] if ext_u - nbx - ko > 0 else []),
@@ -730,19 +879,47 @@ def _extract_bin(plan, grid, bid_b):
         [fu[:, nby - ko :], fu] + ([fu[:, : ext_v - nby - ko]] if ext_v - nby - ko > 0 else []),
         axis=1,
     )
-    gc = bid_b.shape[0]
-    patches = jnp.zeros((gc, S, S), grid.dtype)
-    for a in range(r):
-        for b in range(r):
-            dense = out[a * half : a * half + nbu * half, b * half : b * half + nbv * half]
-            slab = dense.reshape(nbu, half, nbv, half).transpose(0, 2, 1, 3).reshape(nbu * nbv, half, half)
-            patches = patches.at[:, a * half : (a + 1) * half, b * half : (b + 1) * half].set(slab[bid_b])
-    return patches
+    # exact transpose of ``_assemble_bin``'s dense placement: block the
+    # extended plane into subphases, shifted-slice the blocked grid back
+    # to origin cells via the transposed one-hot matmuls, then ONE fast
+    # row-gather orig[bid]
+    half = plan.half
+    r = S // half
+    nbu, nbv = plan.nbu, plan.nbv
+    R_u, R_v = _blk_dims(plan)
+    rdt = plan.au_re.dtype
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    def block_gather(arr):
+        if on_tpu:
+            O3 = arr.reshape(R_u, half, R_v * half).transpose(1, 0, 2)  # (half, R_u, R_v*half)
+            L = jnp.zeros((R_u, R_v, half * half), rdt)
+            for su in range(half):
+                L = L.at[:, :, su * half : (su + 1) * half].set(O3[su].reshape(R_u, R_v, half))
+            orig = jnp.zeros((nbu * nbv, S * S), rdt)
+            for a in range(r):
+                for b in range(r):
+                    q = L[a : a + nbu, b : b + nbv, :].reshape(nbu * nbv, half * half)
+                    orig = orig + _MM(q, _sel_quarter(S, half, a, b, rdt).T)
+            return orig[bid_b].reshape(bid_b.shape[0], S, S)
+        # CPU: exact transpose of the slice-based placement (see
+        # _assemble_bin) — strided slices instead of one-hot matmuls
+        L = arr.reshape(R_u, half, R_v, half).transpose(0, 2, 1, 3)
+        orig = jnp.zeros((nbu, nbv, S, S), rdt)
+        for a in range(r):
+            for b in range(r):
+                orig = orig.at[:, :, a * half : (a + 1) * half, b * half : (b + 1) * half].add(
+                    L[a : a + nbu, b : b + nbv]
+                )
+        return orig.reshape(nbu * nbv, S, S)[bid_b]
+
+    return jnp.stack([block_gather(jnp.real(out).astype(rdt)), block_gather(jnp.imag(out).astype(rdt))])
 
 
 @jax.jit
 def _idg_bins_to_grid_patches(plan: IDGPlan, image):
-    """Forward: image -> per-group patch uv samples (conj-transpose path)."""
+    """Forward: image -> (2, ng, S, S) patch uv samples (conj-transpose)."""
     rdt = plan.phase_re.dtype
     cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
     corr = _cplx(plan.corr_re, plan.corr_im)
@@ -755,23 +932,28 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
         yb = y * _screen(plan, plan.bin_wc[b], 1.0, cdt) if plan.do_wgridding else y
         grid = jnp.fft.fft2(jnp.fft.ifftshift(_pad(plan, yb)))
         p_b = _extract_bin(plan, grid, plan.bid[gs : gs + gc])
-        patches = p_b if patches is None else jnp.concatenate([patches, p_b], axis=0)
+        patches = p_b if patches is None else jnp.concatenate([patches, p_b], axis=1)
     return patches
+
+
+def _ext(a, b):
+    """Batched (S, S) x (S, G) real einsum contracting the patch row."""
+    return jnp.einsum("gxy,gxv->gyv", a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def _idg_patches_to_vals(plan: IDGPlan, patches):
-    """Forward: patch uv samples -> group-layout values (2, ng, G)."""
-    Au = _cplx(plan.au_re, plan.au_im)
-    Av = _cplx(plan.av_re, plan.av_im)
-    outs = []
-    for s, e in _chunk_bounds(plan):
-        # adjoint of fft2 is ifft2 * S^2
-        spatial = jnp.fft.ifft2(patches[s:e]) * (plan.S * plan.S)
-        t = jnp.einsum("gxy,gxv->gyv", spatial, jnp.conj(Au[s:e]), precision=jax.lax.Precision.HIGHEST)
-        outs.append(jnp.sum(t * jnp.conj(Av[s:e]), axis=1))  # (chunk, G)
-    V = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return jnp.stack([jnp.real(V), jnp.imag(V)])
+    """Forward: (2, ng, S, S) patch uv samples -> group values (2, ng, G).
+
+    Exact conj-transpose of ``_idg_patches_uv``'s four real einsums:
+    t = conj(A~u)^T P, V = sum_k t conj(A~v) (the folded DFT's transpose
+    is the conj(A~) contraction — no per-patch iFFT)."""
+    p_re, p_im = patches[0], patches[1]
+    t_re = _ext(p_re, plan.au_re) + _ext(p_im, plan.au_im)
+    t_im = _ext(p_im, plan.au_re) - _ext(p_re, plan.au_im)
+    v_re = jnp.sum(t_re * plan.av_re + t_im * plan.av_im, axis=1)
+    v_im = jnp.sum(t_im * plan.av_re - t_re * plan.av_im, axis=1)
+    return jnp.stack([v_re, v_im])
 
 
 @jax.jit

@@ -172,3 +172,30 @@ def test_hessian_vis_idg_matches_classic(rng):
     h_i = np.asarray(hessian_vis_idg(plan_i, jnp.asarray(x), wgt_g=wgt_g, eta=1e-3))
     h_c = np.asarray(hessian_vis(plan_c, jnp.asarray(x), wgt=jnp.asarray(wgt), eta=1e-3))
     assert np.abs(h_i - h_c).max() / np.abs(h_c).max() < 1e-4
+
+
+def test_plan_native_matches_numpy(rng, monkeypatch):
+    """The native plan core (idg_coords + counting sort + group fill +
+    phase-matrix builder, native/plan_kernels.cpp) must reproduce the
+    vectorised numpy planning path exactly: identical group layout /
+    gather tables, phases and A matrices to fp round-off."""
+    import pfb_imaging_tpu.native as native
+
+    assert native._build_and_load() is not None, "native library must build here"
+    uvw, freq, _, kw = _problem(rng, nrow=4000, nx=128)
+    kw["cellx"] = kw["celly"] = 5e-5
+    uvw[:, 2] = rng.uniform(-900, 900, uvw.shape[0])  # multi-bin w spread
+    mk = dict(epsilon=EPS, do_wgridding=True, divide_by_n=True)
+    p_nat = plan_idg(uvw, freq, **mk, **kw)
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)  # force every numpy fallback
+    p_np = plan_idg(uvw, freq, **mk, **kw)
+    assert p_nat.ngroups == p_np.ngroups
+    assert p_nat.nbins == p_np.nbins
+    assert p_nat.bin_gstart == p_np.bin_gstart
+    assert p_nat.bin_gcount == p_np.bin_gcount
+    for f in ("cg_idx", "bid", "inv_orig"):
+        np.testing.assert_array_equal(np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_np, f)), err_msg=f)
+    for f in ("phase_re", "phase_im", "au_re", "au_im", "av_re", "av_im"):
+        a, b = np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_np, f))
+        np.testing.assert_allclose(a, b, rtol=0.0, atol=1e-10 * max(1.0, np.abs(b).max()), err_msg=f)
