@@ -37,6 +37,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--product", default="I")
     p.add_argument("--chan-average", type=int, default=1)
+    p.add_argument(
+        "--beam-model", default="auto",
+        help="primary beam at ingest: auto|none|gauss|kbl|kbuhf|<holography>.npz",
+    )
+    p.add_argument("--bda-decorrelation", type=float, default=None)
     _add_common(p)
 
     for name in ("imager", "grid"):
@@ -150,7 +155,10 @@ def main(argv=None):
     elif cmd == "init":
         from .core.init import init
 
-        init(args.ms, args.output, product=args.product, chan_average=args.chan_average)
+        init(
+            args.ms, args.output, product=args.product, chan_average=args.chan_average,
+            beam_model=args.beam_model, bda_decorrelation=args.bda_decorrelation,
+        )
     elif cmd in ("imager", "grid"):
         from .core.imager import imager
 

@@ -61,7 +61,9 @@ def init(
     ``beam_model``: "auto" evaluates the analytic dish beam on a small
     grid per partition when the container advertises a ``beam_diameter``
     (the reference's katbeam-eval-at-ingest, stokes2vis.py:373-415);
-    "none" disables.
+    "none" disables. Also accepts any ``utils.beam.eval_beam_model``
+    name — "gauss", the katbeam-equivalent "kbl"/"kbuhf", or a
+    holography-archive ``*.npz`` path.
     """
     ms = TreeStore(ms_path)
     out = TreeStore(output_store, mode="w")
@@ -77,7 +79,13 @@ def init(
         beam_diameter=attrs.get("beam_diameter"),
     )
 
-    beam_diam = attrs.get("beam_diameter") if beam_model == "auto" else None
+    beam_diam = attrs.get("beam_diameter")
+    if beam_model == "auto":
+        beam_kind = "gauss" if beam_diam else None
+    elif beam_model in (None, "none"):
+        beam_kind = None
+    else:
+        beam_kind = beam_model  # gauss | kbl | kbuhf | *.npz
     cell_attr = attrs.get("cell_rad") or 0.0
     fov_r = bda_fov if bda_fov is not None else (attrs.get("nx", 128) * cell_attr / 2.0 or 1e-2)
 
@@ -123,16 +131,19 @@ def init(
         og.write("MASK", mask)
         og.write("UVW", uvw)
         og.write("FREQ", f_out)
-        if beam_diam:
+        if beam_kind:
             # small-grid beam at the partition's mean frequency (the
             # imager interpolates onto the image grid, reference
             # eval_beam path gridder.py:841-848)
-            from ..utils.beam import gauss_beam
+            from ..utils.beam import eval_beam_model
 
             ext = fov_r * 1.3
             lg = np.linspace(-ext, ext, beam_npix)
             ll, mm = np.meshgrid(lg, lg, indexing="ij")
-            og.write("BEAM_SMALL", gauss_beam(ll, mm, float(f_out.mean()), diameter=beam_diam))
+            og.write(
+                "BEAM_SMALL",
+                eval_beam_model(beam_kind, ll, mm, float(f_out.mean()), diameter=beam_diam or 13.5),
+            )
             og.write("BEAM_L", lg)
             og.write("BEAM_M", lg)
         log.info("init: %s -> %d rows (%d in), %d chans", key, vis_s.shape[0], nrow_in, vis_s.shape[1])

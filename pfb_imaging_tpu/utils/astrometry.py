@@ -72,3 +72,20 @@ def change_phase_dir(vis, uvw, freq, radec_new, radec_ref, phasesign: float = -1
     s1 = np.array(radec_to_lmn(radec_new[0], radec_new[1], radec_ref[0], radec_ref[1]))
     rot = rotation_matrix_rodrigues(s0, s1)
     return vis_new, uvw @ rot.T
+
+
+def parallactic_angles(times, ra: float, dec: float, longitude: float = 21.443, latitude: float = -30.713):
+    """Parallactic angle per time sample for an alt-az dish
+    (reference: africanus parallactic_angles via utils/beam.py:58-61;
+    the reference takes the antenna mean — one site angle serves here).
+
+    Uses the same sidereal hour-angle convention as ``synthesize_uvw``:
+    HA = omega * t + longitude - ra.
+    """
+    omega = 2 * np.pi / 86164.0905
+    ha = omega * np.asarray(times, np.float64) + np.deg2rad(longitude) - ra
+    lat = np.deg2rad(latitude)
+    return np.arctan2(
+        np.cos(lat) * np.sin(ha),
+        np.sin(lat) * np.cos(dec) - np.cos(lat) * np.sin(dec) * np.cos(ha),
+    )

@@ -91,3 +91,42 @@ def stokes_to_corr(stokes_vis, feed_type: str = "linear", ncorr: int = 4):
     reference core/degrid.py:292-331)."""
     T = brightness_map(feed_type, ncorr)
     return jnp.einsum("cs,s...->c...", jnp.asarray(T), stokes_vis)
+
+
+# ── Jones/Mueller beam conversions (host-side, numpy) ────────────────
+# Used by the primary-beam reprojection path (utils/beam.reproject_beam;
+# reference utils/stokes.py:16-45, utils/beam.py:126-141).
+
+_T_STOKES_LIN = np.array(
+    [[1.0, 1.0, 0, 0], [0, 0, 1.0, 1.0j], [0, 0, 1.0, -1.0j], [1.0, -1.0, 0, 0]]
+)
+_T_STOKES_CIRC = np.array(
+    [[1.0, 0, 0, 1.0], [0, 1.0, 1.0j, 0], [0, 1.0, -1.0j, 0], [1.0, 0, 0, -1.0]]
+)
+
+
+def jones_to_mueller(jp, jq):
+    """Mueller matrix M = Jp (x) conj(Jq): (2, 2, ...) x2 -> (4, 4, ...).
+
+    Correlation (i, k) responds to brightness (j, l) through
+    M[(i,k), (j,l)] = Jp[i,j] conj(Jq[k,l]) (vec of V = Jp B Jq^H).
+    """
+    jp = np.asarray(jp)
+    out = np.einsum("ij...,kl...->ikjl...", jp, np.conjugate(np.asarray(jq)))
+    return out.reshape((4, 4) + jp.shape[2:])
+
+
+def mueller_to_stokes_diag(mueller, feed_type: str = "linear"):
+    """Per-Stokes beam response: the diagonal of the Mueller matrix in the
+    Stokes basis, shape (4, ...) real — [I, Q, U, V] attenuation images."""
+    T = _T_STOKES_LIN if feed_type.lower() == "linear" else _T_STOKES_CIRC
+    return np.einsum("ij...,ji->i...", mueller, T).real
+
+
+def jones_beam_to_stokes(jones, product: str = "I", feed_type: str = "linear"):
+    """(2, 2, nx, ny) Jones beam -> (nstokes, nx, ny) selected Stokes
+    responses for the characters of ``product`` (reference
+    reproject_and_interp_beam body, utils/beam.py:126-142)."""
+    s = mueller_to_stokes_diag(jones_to_mueller(jones, jones), feed_type)
+    idx = [_STOKES_IDX[p] for p in product]
+    return s[idx]
