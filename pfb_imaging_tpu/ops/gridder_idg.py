@@ -155,6 +155,10 @@ def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET):
         "au_im",
         "av_re",
         "av_im",
+        "scal",
+        "wcu8",
+        "wcv8",
+        "sg",
         "cg_idx",
         "bid",
         "inv_orig",
@@ -183,6 +187,8 @@ def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET):
         "bin_gcount",
         "bin_wc",
         "do_wgridding",
+        "fused",
+        "hermitian",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -212,11 +218,17 @@ class IDGPlan:
     bin_gcount: tuple
     bin_wc: tuple  # per-bin centre w (wavelengths)
     do_wgridding: bool
+    fused: bool  # True: Pallas fused eval (scal/wcu8/wcv8); A arrays dummy
+    hermitian: bool  # True: v<0 rows folded; sg carries the conj signs
     # device arrays
-    au_re: jnp.ndarray  # (ng, S, G) A_u incl. taper c_u
+    au_re: jnp.ndarray  # (ng, S, G) A_u incl. taper c_u (einsum backend)
     au_im: jnp.ndarray
-    av_re: jnp.ndarray  # (ng, S, G) A_v incl. taper c_v
+    av_re: jnp.ndarray  # (ng, S, G) A_v incl. taper c_v (einsum backend)
     av_im: jnp.ndarray
+    scal: jnp.ndarray  # (4, ng, G) [du_u, phi_u, du_v, phi_v] angles (fused)
+    wcu8: jnp.ndarray  # (2, 128, 128) permuted-kron W diag(c_u) (fused)
+    wcv8: jnp.ndarray
+    sg: jnp.ndarray  # (ng, G) +-1 conjugation signs (hermitian fold)
     cg_idx: jnp.ndarray  # (ng, G) int32 ORIGINAL flat (row*chan) index of
     #                       each slot (sentinel nvis -> appended zero row):
     #                       the single combined sort+group gather
@@ -291,6 +303,8 @@ def plan_idg(
     force_w_range: tuple | None = None,
     bin_gcap: tuple | None = None,
     count_only: bool = False,
+    eval_backend: str = "auto",
+    hermitian: bool = True,
 ) -> IDGPlan:
     """Host-side IDG planning: bucketing, taper fit, phase matrices, bins.
 
@@ -302,11 +316,32 @@ def plan_idg(
     static group layout, and ``count_only=True`` for a cheap first pass
     that returns (nbins, bin_gcount, (wmin, wmax)) without building the
     phase matrices.
+
+    ``eval_backend``: "einsum" materialises the (ng, S, G) phase matrices
+    (any S/G/dtype; the CPU and f64 path); "fused" stores only the per-
+    slot angles + permuted-kron taper constants and evaluates patches in
+    the Pallas MXU kernel (ops/idg_fused.py; S=16, G=128, f32); "auto"
+    picks fused when supported and the default backend is not CPU.
+
+    ``hermitian``: fold the v < 0 half-plane onto v >= 0 before planning
+    (mirror uvw, conjugate values at runtime — exact for real dirty
+    images since each visibility contributes Re[V e^{i phi}]; the trick
+    ducc0's wgridder uses, reference operators/gridder.py backend). The
+    sign of v is per ROW (channels scale by a positive invlam), so the
+    fold is a uvw-row flip upstream of all bucketing/binning: mirrored
+    baselines land in the same uv buckets, roughly halving the occupied
+    lattice and the per-group padding for partially-filled buckets.
     """
     uvw = np.asarray(uvw, np.float64)
     freq = np.asarray(freq, np.float64)
     nrow, nchan = uvw.shape[0], freq.shape[0]
     su, sv, sw = conventions_signs(flip_u, flip_v, flip_w)
+    if hermitian and nrow:
+        v_row = sv * uvw[:, 1]
+        fold_row = (v_row < 0) | ((v_row == 0) & (su * uvw[:, 0] < 0))
+        uvw = np.where(fold_row[:, None], -uvw, uvw)
+    else:
+        fold_row = np.zeros(nrow, bool)
     S, G = int(subgrid), int(group_size)
     half = int(half)
     if S % half:
@@ -553,6 +588,38 @@ def plan_idg(
     xc = np.fft.fftfreq(S) * S
     rdt = np.float32 if dtype == np.float32 else np.float64
 
+    from . import idg_fused
+
+    if eval_backend == "auto":
+        eval_backend = (
+            "fused"
+            if idg_fused.fused_supported(S, G, rdt) and jax.default_backend() != "cpu"
+            else "einsum"
+        )
+    fused = eval_backend == "fused"
+    if fused and not idg_fused.fused_supported(S, G, rdt):
+        raise ValueError("fused IDG eval needs subgrid=16, group_size=128, f32")
+
+    if fused:
+        # pad the group axis to a multiple of the kernel block with
+        # sentinel groups (all slots empty, bucket 0, zero phases) —
+        # they sit beyond every bin range, so the accumulate/extract
+        # loops never touch them and the kernel just computes zeros
+        ng_pad = -(-max(ng, 1) // idg_fused.BG) * idg_fused.BG
+        if ng_pad != ng:
+            extra = ng_pad - ng
+            pad2 = lambda a, fill: np.concatenate(  # noqa: E731
+                [a, np.full((extra,) + a.shape[1:], fill, a.dtype)]
+            )
+            cg_idx = pad2(np.asarray(cg_idx), nvis)
+            du_g = pad2(np.asarray(du_g), 0.0)
+            dv_g = pad2(np.asarray(dv_g), 0.0)
+            phiu_g = pad2(np.asarray(phiu_g), 0.0)
+            phiv_g = pad2(np.asarray(phiv_g), 0.0)
+            phase_g = pad2(np.asarray(phase_g), 0.0)
+            bid_g = pad2(np.asarray(bid_g), 0)
+            ng = ng_pad
+
     # Patch-DFT fold: the runtime's per-patch fft2 is absorbed into the A
     # matrices here (A~ = W diag(c) Z with W the S-point DFT matrix), so
     # the runtime einsums produce patch UV samples directly — no
@@ -566,16 +633,36 @@ def plan_idg(
     wcu = W * cu[None, :]
     wcv = W * cv[None, :]
     tfac = 2.0 * np.pi / S
-    au_re, au_im = _build_A_matrices(
-        jnp.asarray((tfac * du_g).astype(rdt)), jnp.asarray(phiu_g.astype(rdt)),
-        jnp.asarray(wcu.real.astype(rdt)), jnp.asarray(wcu.imag.astype(rdt)),
-        jnp.asarray(xc.astype(rdt)),
-    )
-    av_re, av_im = _build_A_matrices(
-        jnp.asarray((tfac * dv_g).astype(rdt)), jnp.asarray(phiv_g.astype(rdt)),
-        jnp.asarray(wcv.real.astype(rdt)), jnp.asarray(wcv.imag.astype(rdt)),
-        jnp.asarray(xc.astype(rdt)),
-    )
+    if fused:
+        dummy = jnp.zeros((1, 1, 1), rdt)
+        au_re = au_im = av_re = av_im = dummy
+        scal = jnp.asarray(
+            np.stack([tfac * du_g, phiu_g, tfac * dv_g, phiv_g]).astype(np.float32)
+        )
+        wcu8 = jnp.asarray(idg_fused.wc_perm_kron(wcu))
+        wcv8 = jnp.asarray(idg_fused.wc_perm_kron(wcv))
+    else:
+        au_re, au_im = _build_A_matrices(
+            jnp.asarray((tfac * du_g).astype(rdt)), jnp.asarray(phiu_g.astype(rdt)),
+            jnp.asarray(wcu.real.astype(rdt)), jnp.asarray(wcu.imag.astype(rdt)),
+            jnp.asarray(xc.astype(rdt)),
+        )
+        av_re, av_im = _build_A_matrices(
+            jnp.asarray((tfac * dv_g).astype(rdt)), jnp.asarray(phiv_g.astype(rdt)),
+            jnp.asarray(wcv.real.astype(rdt)), jnp.asarray(wcv.imag.astype(rdt)),
+            jnp.asarray(xc.astype(rdt)),
+        )
+        scal = jnp.zeros((1, 1, 1), jnp.float32)
+        wcu8 = wcv8 = jnp.zeros((1, 1, 1), jnp.float32)
+
+    if hermitian:
+        # per-slot conjugation signs via the group gather (sentinel -> +1)
+        sflat = np.ones(nvis + 1, rdt)
+        if nvis:
+            sflat[:nvis] = np.where(np.repeat(fold_row, nchan), -1.0, 1.0)
+        sg = jnp.asarray(sflat[np.asarray(cg_idx)])
+    else:
+        sg = jnp.zeros((1, 1), jnp.float32)
 
     # ── image correction: 1/(Tu(xi_x) Tv(xi_y)) [ / n ] ──────────────
     xix = (np.arange(nx) - nx // 2) / nbig_x
@@ -608,10 +695,16 @@ def plan_idg(
         bin_gcount=tuple(int(x) for x in bin_gcount),
         bin_wc=tuple(float(x) for x in wc),
         do_wgridding=do_w,
+        fused=fused,
+        hermitian=bool(hermitian),
         au_re=jnp.asarray(au_re),
         au_im=jnp.asarray(au_im),
         av_re=jnp.asarray(av_re),
         av_im=jnp.asarray(av_im),
+        scal=scal,
+        wcu8=wcu8,
+        wcv8=wcv8,
+        sg=sg,
         cg_idx=jnp.asarray(host(cg_idx, idx_t)),
         bid=jnp.asarray(host(bid_g, idx_t)),
         inv_orig=jnp.asarray(host(inv_orig, idx_t)),
@@ -667,10 +760,12 @@ def _idg_prepare(plan: IDGPlan, vis_re, vis_im, wgt, mask):
     rows = jnp.stack([wre, wim], axis=-1)  # (nvis, 2)
     rows = jnp.concatenate([rows, jnp.zeros((1, 2), rdt)])
     g = rows[plan.cg_idx]  # (ng, G, 2) single row-gather
-    # multiply by conj(forward phase), group layout
+    g1 = g[..., 1] * plan.sg if plan.hermitian else g[..., 1]
+    # multiply by conj(forward phase), group layout (hermitian fold:
+    # conjugate folded rows first — fold into the imaginary part)
     pre, pim = plan.phase_re, plan.phase_im
-    vre = g[..., 0] * pre + g[..., 1] * pim
-    vim = g[..., 1] * pre - g[..., 0] * pim
+    vre = g[..., 0] * pre + g1 * pim
+    vim = g1 * pre - g[..., 0] * pim
     return jnp.stack([vre, vim])
 
 
@@ -691,6 +786,13 @@ def _idg_patches_uv(plan: IDGPlan, vals):
     needed 3 c64 copies — 5 GB at 4096^2/8M vis, the round-2 OOM; and
     chunked/sliced einsums run ~60x slower than one big batch on this
     runtime, docs/tpu-runtime-notes.md.)"""
+    if plan.fused:
+        from . import idg_fused
+
+        return idg_fused.patches_from_vals(
+            plan.scal, vals, plan.wcu8, plan.wcv8,
+            interpret=jax.default_backend() == "cpu",
+        )
     vre, vim = vals[0][:, None, :], vals[1][:, None, :]
     bre = plan.av_re * vre - plan.av_im * vim
     bim = plan.av_re * vim + plan.av_im * vre
@@ -747,6 +849,18 @@ def _sel_quarter(S, half, a, b, dtype):
 _MM = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
+def _mm_onehot(values, sel_bf16):
+    """values @ sel for 0/1 selection matrices: exact f32 in three bf16
+    passes (hi + lo + lolo against exact-in-bf16 weights) — 2x cheaper
+    than a HIGHEST (6-pass) matmul on the MXU for the same result."""
+    d = partial(jnp.matmul, preferred_element_type=jnp.float32)
+    vh = values.astype(jnp.bfloat16)
+    r1 = values - vh.astype(jnp.float32)
+    vl = r1.astype(jnp.bfloat16)
+    vll = (r1 - vl.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(vh, sel_bf16) + (d(vl, sel_bf16) + d(vll, sel_bf16))
+
+
 def _assemble_bin(plan, p_b, bid_b):
     """Patches of one bin -> big grid, with no lane-padded big buffers
     and no windowed scatters (both measured fatal, docs/perf.md):
@@ -780,7 +894,9 @@ def _assemble_bin(plan, p_b, bid_b):
             L = jnp.zeros((R_u, R_v, half * half), flat.dtype)
             for a in range(r):
                 for b in range(r):
-                    q = _MM(orig, _sel_quarter(S, half, a, b, flat.dtype)).reshape(nbu, nbv, half * half)
+                    sel = _sel_quarter(S, half, a, b, jnp.bfloat16)
+                    q = (_mm_onehot(orig, sel) if flat.dtype == jnp.float32
+                         else _MM(orig, sel.astype(flat.dtype))).reshape(nbu, nbv, half * half)
                     L = L.at[a : a + nbu, b : b + nbv, :].add(q)
             # unblock: ext[t*half + su, :] = L[t, :, su*half : (su+1)*half]
             D = jnp.stack([L[:, :, su * half : (su + 1) * half].reshape(R_u, R_v * half) for su in range(half)])
@@ -909,7 +1025,9 @@ def _extract_bin(plan, grid, bid_b):
             for a in range(r):
                 for b in range(r):
                     q = L[a : a + nbu, b : b + nbv, :].reshape(nbu * nbv, half * half)
-                    orig = orig + _MM(q, _sel_quarter(S, half, a, b, rdt).T)
+                    selT = _sel_quarter(S, half, a, b, jnp.bfloat16).T
+                    orig = orig + (_mm_onehot(q, selT) if rdt == jnp.float32
+                                   else _MM(q, selT.astype(rdt)))
             return orig[bid_b].reshape(bid_b.shape[0], S, S)
         # CPU: exact transpose of the slice-based placement (see
         # _assemble_bin) — strided slices instead of one-hot matmuls
@@ -956,6 +1074,21 @@ def _idg_patches_to_vals(plan: IDGPlan, patches):
     Exact conj-transpose of ``_idg_patches_uv``'s four real einsums:
     t = conj(A~u)^T P, V = sum_k t conj(A~v) (the folded DFT's transpose
     is the conj(A~) contraction — no per-patch iFFT)."""
+    if plan.fused:
+        from . import idg_fused
+
+        ng = patches.shape[1]
+        if ng < plan.ngroups:  # bins cover fewer groups than the padded plan
+            patches = jnp.concatenate(
+                [patches, jnp.zeros((2, plan.ngroups - ng, plan.S, plan.S), patches.dtype)],
+                axis=1,
+            )
+        # kernel wants x-major rows: (2, ng, S, S) -> (2, S, ng*S)
+        pt = jnp.transpose(patches, (0, 2, 1, 3)).reshape(2, plan.S, plan.ngroups * plan.S)
+        return idg_fused.vals_from_patches(
+            pt, plan.scal, plan.wcu8, plan.wcv8,
+            interpret=jax.default_backend() == "cpu",
+        )
     p_re, p_im = patches[0], patches[1]
     t_re = _ext(p_re, plan.au_re) + _ext(p_im, plan.au_im)
     t_im = _ext(p_im, plan.au_re) - _ext(p_re, plan.au_im)
@@ -978,7 +1111,8 @@ def _dirty2vis_idg_impl(plan: IDGPlan, image, mask):
     rdt = plan.phase_re.dtype
     vals = dirty2vis_idg_grouped(plan, image)
     V = _cplx(vals[0], vals[1]) * _cplx(plan.phase_re, plan.phase_im)
-    flat = jnp.stack([jnp.real(V).reshape(-1), jnp.imag(V).reshape(-1)], axis=-1)
+    vim_out = jnp.imag(V) * plan.sg if plan.hermitian else jnp.imag(V)
+    flat = jnp.stack([jnp.real(V).reshape(-1), vim_out.reshape(-1)], axis=-1)
     rows = flat[plan.inv_orig]  # (nvis, 2) single row-gather back
     out = rows.T.reshape(2, plan.nrow, plan.nchan)
     if mask is not None:

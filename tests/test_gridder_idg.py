@@ -142,6 +142,8 @@ def test_idg_grouped_layout_roundtrip(rng):
     # grouped forward values pushed through the phase/unsort must equal API
     v = np.asarray(dirty2vis_idg(plan, jnp.asarray(img)))
     V = (vals_f[0] + 1j * vals_f[1]) * np.asarray(plan.phase_re + 1j * plan.phase_im)
+    if plan.hermitian:  # undo the fold: conjugate mirrored slots
+        V = V.real + 1j * V.imag * np.asarray(plan.sg)
     flat = V.reshape(-1)[np.asarray(plan.inv_orig)]
     np.testing.assert_allclose(flat.reshape(v.shape), v, rtol=1e-12, atol=1e-12)
 
