@@ -42,6 +42,10 @@ def make_parser() -> argparse.ArgumentParser:
         help="primary beam at ingest: auto|none|gauss|kbl|kbuhf|<holography>.npz",
     )
     p.add_argument("--bda-decorrelation", type=float, default=None)
+    p.add_argument(
+        "--data-column", default=None,
+        help="MSv4 ingest: visibility column (default VISIBILITY/CORRECTED_DATA/DATA)",
+    )
     _add_common(p)
 
     for name in ("imager", "grid"):
@@ -158,6 +162,7 @@ def main(argv=None):
         init(
             args.ms, args.output, product=args.product, chan_average=args.chan_average,
             beam_model=args.beam_model, bda_decorrelation=args.bda_decorrelation,
+            data_column=args.data_column,
         )
     elif cmd in ("imager", "grid"):
         from .core.imager import imager

@@ -6,10 +6,12 @@ the requested Stokes product via the weighted-least-squares ``weight_data``
 (the jitted replacement for the reference's numba literal-specialised
 overloads), then write VIS/WEIGHT/MASK (row, chan) + UVW/FREQ.
 
-Channel/BDA averaging (africanus in the reference,
-stokes2vis.py:324-365) is an ingest-time volume optimisation, represented
-here by simple channel binning; time-dependent BDA is a known gap for a
-later round.
+Channel binning and baseline-dependent time averaging (africanus in the
+reference, stokes2vis.py:324-365) run at ingest via ``_chan_average`` and
+``utils/bda.py``. Inputs are either the internal TreeStore containers
+(simulator output) or a real MSv4 zarr processing set read by the
+self-contained ``utils/zarrio`` + ``utils/msv4`` adapter (reference
+utils/stokes2vis_msv4.py).
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ def init(
     bda_max_window: int = 64,
     beam_model: str = "auto",
     beam_npix: int = 129,
+    data_column: str | None = None,
 ):
     """Convert a raw container to a Stokes product store.
 
@@ -65,7 +68,16 @@ def init(
     name — "gauss", the katbeam-equivalent "kbl"/"kbuhf", or a
     holography-archive ``*.npz`` path.
     """
-    ms = TreeStore(ms_path)
+    from ..utils.zarrio import is_zarr_store
+
+    if is_zarr_store(ms_path):
+        # real MSv4 processing set (zarr-backed; reference
+        # utils/stokes2vis_msv4.py) via the self-contained reader
+        from ..utils.msv4 import open_msv4
+
+        ms = open_msv4(ms_path, data_column=data_column)
+    else:
+        ms = TreeStore(ms_path)
     out = TreeStore(output_store, mode="w")
     attrs = ms.attrs
     feed_type = attrs.get("feed_type", "linear")
