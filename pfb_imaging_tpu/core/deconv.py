@@ -230,12 +230,18 @@ def deconv(
             mcube = eval_coeffs_to_cube(times_u, freqs_u, coeffs, ix, iy, mattrs)
             model = mcube.transpose(1, 0, 2, 3).reshape(nband, nx, ny)
 
-        # exact residual through the measurement operator, per band
-        for b, key in enumerate(band_nodes):
-            node = dt.group(key)
-            residual[b] = residual_from_parts(
-                node, model[b], epsilon=epsilon, do_wgridding=do_wgridding, double_precision=double_precision
+        # exact residual through the measurement operator: launch every
+        # band's round trip asynchronously, fetch once (the device
+        # pipelines the per-band programs instead of idling on host syncs)
+        resid_d = [
+            residual_from_parts(
+                dt.group(key), model[b], epsilon=epsilon, do_wgridding=do_wgridding,
+                double_precision=double_precision, as_device=True,
             )
+            for b, key in enumerate(band_nodes)
+        ]
+        for b in range(nband):
+            residual[b] = np.asarray(resid_d[b])
 
         rms_p, rmax_p = rms, rmax
         mfs = residual.sum(axis=0) / wsum

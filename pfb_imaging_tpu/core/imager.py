@@ -385,10 +385,16 @@ def residual_from_parts(
     do_wgridding: bool = True,
     double_precision: bool = True,
     gridder: str = "auto",
+    as_device: bool = False,
 ):
     """Exact once-per-major-cycle gradient for one band:
     DIRTY - sum_p R_p^T W_p R_p model (reference residual_from_partitions,
     gridder.py:926-1016). Returns the raw (un-normalised) residual image.
+
+    ``as_device=True`` returns the jax array WITHOUT blocking: callers
+    looping over bands can launch every band's round trip back-to-back
+    (jax dispatch is asynchronous) and fetch at the end — the device
+    pipelines the per-band programs instead of idling on host syncs.
 
     Plans and the partition weights are cached per (partition path, content
     stamp) with LRU eviction — the major cycle calls this every iteration
@@ -403,8 +409,8 @@ def residual_from_parts(
 
     dtype = np.float64 if double_precision else np.float32
     dirty = np.asarray(band_node.read("DIRTY"))
-    resid = dirty.copy()
     nx, ny = dirty.shape
+    terms = []
     use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
     for pk in band_node.groups():
         pg = band_node.group(pk)
@@ -425,14 +431,20 @@ def residual_from_parts(
             )
             uvw = np.asarray(pg.read("UVW"))
             f = np.asarray(pg.read("FREQ"))
+            wgt_j = jnp.asarray(np.asarray(pg.read("WEIGHT")))
+            mask_j = jnp.asarray(np.asarray(pg.read("MASK")))
             if use_idg:
-                from ..ops.gridder_idg import plan_idg
+                from ..ops.gridder_idg import plan_idg, to_group_layout
 
                 plan = plan_idg(uvw, f, **kw)
+                # group-layout masked weights: the whole degrid->weight->
+                # grid round trip then runs gather-free (phases and fold
+                # signs cancel inside the sandwich; hessian_vis_idg)
+                wgt_j = to_group_layout(plan, wgt_j * mask_j)
             else:
                 plan = plan_wgridder(uvw, f, **kw)
             beam = jnp.asarray(np.asarray(pg.read("BEAM"))) if pg.has("BEAM") else None
-            cached = (plan, jnp.asarray(np.asarray(pg.read("WEIGHT"))), jnp.asarray(np.asarray(pg.read("MASK"))), beam)
+            cached = (plan, wgt_j, mask_j, beam)
             while len(_PLAN_CACHE) >= _PLAN_CACHE_CAP:
                 _PLAN_CACHE.popitem(last=False)
             _PLAN_CACHE[key] = cached
@@ -443,14 +455,18 @@ def residual_from_parts(
         # residual_from_partitions: dirty - sum_p G_p^T W_p G_p (beam_p m))
         xin = jnp.asarray(model_b) if beam is None else jnp.asarray(model_b) * beam
         if use_idg:
-            from ..ops.gridder_idg import dirty2vis_idg, vis2dirty_idg
+            from ..ops.gridder_idg import hessian_vis_idg
 
-            mvis = dirty2vis_idg(plan, xin)
-            resid -= np.asarray(vis2dirty_idg(plan, mvis, wgt=wgt, mask=mask))
+            terms.append(hessian_vis_idg(plan, xin, wgt_g=wgt))
         else:
             mvis = dirty2vis(plan, xin)
-            resid -= np.asarray(vis2dirty(plan, mvis, wgt=wgt, mask=mask))
-    return resid
+            terms.append(vis2dirty(plan, mvis, wgt=wgt, mask=mask))
+    resid = jnp.asarray(dirty)
+    for t in terms:
+        resid = resid - t.astype(resid.dtype)
+    if as_device:
+        return resid
+    return np.asarray(resid)
 
 
 def _cell_from_root(band_node: TreeStore) -> float:

@@ -233,3 +233,39 @@ def test_residual_plan_cache_content_stamp(tmp_path):
     pg.write("WEIGHT", 0.5 * np.ones((nrow, 1)))
     r2 = residual_from_parts(node, model, epsilon=1e-7)
     np.testing.assert_allclose(r2, 0.5 * r1, rtol=1e-10, atol=1e-12)
+
+
+def test_residual_idg_matches_stack(tmp_path):
+    """The IDG residual branch (group-layout hessian_vis_idg round trip)
+    agrees with the classic stack gridder branch to plan accuracy."""
+    import numpy as np
+    from pfb_imaging_tpu.core.imager import residual_from_parts
+    from pfb_imaging_tpu.utils.store import TreeStore
+
+    rng = np.random.default_rng(13)
+    nx = 64
+    cell = 1e-4
+    nrow = 600
+    uvw = rng.uniform(-1500, 1500, (nrow, 3))
+    uvw[:, 2] *= 0.05
+    freq = np.array([1e9, 1.1e9])
+
+    root = TreeStore(tmp_path / "t.dt", mode="w")
+    root.set_attrs(cell_rad=cell)
+    node = root.group("band0000_time0000")
+    node.set_attrs(cell_rad=cell)
+    node.write("DIRTY", np.zeros((nx, nx)))
+    pg = node.group("part0000")
+    pg.set_attrs(l0=0.0, m0=0.0)
+    pg.write("UVW", uvw)
+    pg.write("FREQ", freq)
+    pg.write("WEIGHT", rng.random((nrow, 2)))
+    pg.write("MASK", (rng.random((nrow, 2)) > 0.1).astype(np.uint8))
+
+    model = np.zeros((nx, nx))
+    model[nx // 2 + 5, nx // 2 - 3] = 1.0
+    model[nx // 4, nx // 2] = 0.4
+    r_idg = residual_from_parts(node, model, epsilon=1e-4, gridder="idg")
+    r_stk = residual_from_parts(node, model, epsilon=1e-9, gridder="stack")
+    scale = np.abs(r_stk).max()
+    assert np.abs(r_idg - r_stk).max() / scale < 1e-4
