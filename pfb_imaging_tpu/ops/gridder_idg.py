@@ -917,26 +917,78 @@ def _assemble_bin(plan, p_b, bid_b):
     return _cplx(planes[0], planes[1])
 
 
+_UNROLL_BINS = 10  # above this, same-size bin classes run as lax.scan
+
+
+def _bin_classes(plan):
+    """Static bin grouping by power-of-2-padded group count.
+
+    Computed at trace time from the plan's static metadata: per class a
+    (bin-index array, (nb, cap) global-group-index array with sentinel
+    ``ngroups`` for the padding slots). Bounds the compiled graph to one
+    assembly body per size class instead of one per w-bin (a ~170-bin
+    wide-field plan would otherwise unroll ~170 copies).
+    """
+    classes: dict = {}
+    for b in range(plan.nbins):
+        gc = plan.bin_gcount[b]
+        if gc == 0:
+            continue
+        cap = 1 << (int(gc) - 1).bit_length()
+        classes.setdefault(cap, []).append(b)
+    out = []
+    for cap, bins in sorted(classes.items()):
+        cidx = np.full((len(bins), cap), plan.ngroups, np.int32)
+        for i, b in enumerate(bins):
+            gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
+            cidx[i, :gc] = np.arange(gs, gs + gc, dtype=np.int32)
+        wcs = np.asarray([plan.bin_wc[b] for b in bins])
+        out.append((cap, jnp.asarray(cidx), jnp.asarray(wcs)))
+    return out
+
+
 @jax.jit
 def _idg_accumulate_bins(plan: IDGPlan, patches):
     """Sum per-bin images: windowed scatter -> fold -> iFFT -> screen.
 
     ``patches`` is the stacked (2, ng, S, S) re/im output of
-    ``_idg_patches_uv``."""
+    ``_idg_patches_uv``. Few bins unroll (distinct static sizes compile
+    once each); many bins run as per-size-class ``lax.scan`` bodies over
+    sentinel-padded group windows — compile time stays bounded on
+    wide-field plans with hundreds of w-bins."""
     cdt = jnp.complex64 if patches.dtype == jnp.float32 else jnp.complex128
     acc = None
-    for b in range(plan.nbins):
-        gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
-        if gc == 0:
-            continue
-        grid = _assemble_bin(plan, patches[:, gs : gs + gc], plan.bid[gs : gs + gc])
-        big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
-        a = _crop(plan, jnp.fft.fftshift(big))
-        if plan.do_wgridding:
-            a = a * _screen(plan, plan.bin_wc[b], -1.0, cdt)
-        acc = a if acc is None else acc + a
-    if acc is None:
-        acc = jnp.zeros((plan.nx, plan.ny), cdt)
+    if plan.nbins <= _UNROLL_BINS:
+        for b in range(plan.nbins):
+            gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
+            if gc == 0:
+                continue
+            grid = _assemble_bin(plan, patches[:, gs : gs + gc], plan.bid[gs : gs + gc])
+            big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
+            a = _crop(plan, jnp.fft.fftshift(big))
+            if plan.do_wgridding:
+                a = a * _screen(plan, plan.bin_wc[b], -1.0, cdt)
+            acc = a if acc is None else acc + a
+        if acc is None:
+            acc = jnp.zeros((plan.nx, plan.ny), cdt)
+        return acc
+    patP = jnp.concatenate([patches, jnp.zeros((2, 1, plan.S, plan.S), patches.dtype)], axis=1)
+    bidP = jnp.concatenate([plan.bid, jnp.zeros(1, plan.bid.dtype)])
+    acc = jnp.zeros((plan.nx, plan.ny), cdt)
+    for cap, cidx, wcs in _bin_classes(plan):
+        patc = jnp.moveaxis(patP[:, cidx], 0, 1)  # (nb, 2, cap, S, S)
+        bidc = bidP[cidx]
+
+        def body(carry, xs):
+            p_b, bid_b, wc = xs
+            grid = _assemble_bin(plan, p_b, bid_b)
+            big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
+            a = _crop(plan, jnp.fft.fftshift(big))
+            if plan.do_wgridding:
+                a = a * _screen(plan, wc, -1.0, cdt)
+            return carry + a, None
+
+        acc, _ = jax.lax.scan(body, acc, (patc, bidc, wcs.astype(plan.nm1.dtype)))
     return acc
 
 
@@ -1050,16 +1102,35 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
     cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
     corr = _cplx(plan.corr_re, plan.corr_im)
     y = image.astype(rdt).astype(cdt) * jnp.conj(corr)
-    patches = None
-    for b in range(plan.nbins):
-        gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
-        if gc == 0:
-            continue
-        yb = y * _screen(plan, plan.bin_wc[b], 1.0, cdt) if plan.do_wgridding else y
-        grid = jnp.fft.fft2(jnp.fft.ifftshift(_pad(plan, yb)))
-        p_b = _extract_bin(plan, grid, plan.bid[gs : gs + gc])
-        patches = p_b if patches is None else jnp.concatenate([patches, p_b], axis=1)
-    return patches
+    if plan.nbins <= _UNROLL_BINS:
+        patches = None
+        for b in range(plan.nbins):
+            gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
+            if gc == 0:
+                continue
+            yb = y * _screen(plan, plan.bin_wc[b], 1.0, cdt) if plan.do_wgridding else y
+            grid = jnp.fft.fft2(jnp.fft.ifftshift(_pad(plan, yb)))
+            p_b = _extract_bin(plan, grid, plan.bid[gs : gs + gc])
+            patches = p_b if patches is None else jnp.concatenate([patches, p_b], axis=1)
+        return patches
+    # many bins: per-size-class scans (see _idg_accumulate_bins), results
+    # scattered back to the bin-contiguous group layout (sentinel dropped)
+    bidP = jnp.concatenate([plan.bid, jnp.zeros(1, plan.bid.dtype)])
+    out = jnp.zeros((2, plan.ngroups, plan.S, plan.S), rdt)
+    for cap, cidx, wcs in _bin_classes(plan):
+        bidc = bidP[cidx]
+
+        def body(_, xs):
+            bid_b, wc = xs
+            yb = y * _screen(plan, wc, 1.0, cdt) if plan.do_wgridding else y
+            grid = jnp.fft.fft2(jnp.fft.ifftshift(_pad(plan, yb)))
+            return None, _extract_bin(plan, grid, bid_b)
+
+        _, p_c = jax.lax.scan(body, None, (bidc, wcs.astype(plan.nm1.dtype)))
+        # p_c: (nb, 2, cap, S, S) -> rows at global group indices
+        flat = jnp.moveaxis(p_c, 1, 0).reshape(2, -1, plan.S, plan.S)
+        out = out.at[:, cidx.reshape(-1)].set(flat, mode="drop")
+    return out
 
 
 def _ext(a, b):

@@ -219,3 +219,27 @@ def test_idg_f32_matches_f64_at_scale(rng):
     v64 = np.asarray(dirty2vis_idg(p64, jnp.asarray(img)))
     v32 = np.asarray(dirty2vis_idg(p32, jnp.asarray(img)))
     assert np.abs(v32 - v64).max() / np.abs(v64).max() < 5e-6
+
+
+def test_idg_many_bins_scan_path(rng):
+    """nbins > _UNROLL_BINS engages the size-classed lax.scan assembly;
+    accuracy vs the DFT oracle and forward/adjoint consistency hold."""
+    from pfb_imaging_tpu.ops.gridder_idg import _UNROLL_BINS
+
+    nrow, nx = 3000, 64
+    cell = 2.5e-4
+    uvw = rng.uniform(-800, 800, (nrow, 3))
+    uvw[:, 2] = rng.uniform(-2200, 2200, nrow)  # wide w spread -> many bins
+    freq = np.array([1e9])
+    vis = rng.standard_normal((nrow, 1)) + 1j * rng.standard_normal((nrow, 1))
+    kw = dict(nx=nx, ny=nx, cellx=cell, celly=cell)
+    plan = plan_idg(uvw, freq, epsilon=EPS, do_wgridding=True, divide_by_n=False, **kw)
+    assert plan.nbins > _UNROLL_BINS, plan.nbins
+    d = np.asarray(vis2dirty_idg(plan, jnp.asarray(vis)))
+    do = np.asarray(vis2dirty_dft(jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(vis), divide_by_n=False, **kw))
+    assert np.abs(d - do).max() / np.abs(do).max() < TOL
+
+    img = rng.standard_normal((nx, nx))
+    v = np.asarray(dirty2vis_idg(plan, jnp.asarray(img)))
+    vo = np.asarray(dirty2vis_dft(jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(img), divide_by_n=False, **kw))
+    assert np.abs(v - vo).max() / np.abs(vo).max() < TOL
