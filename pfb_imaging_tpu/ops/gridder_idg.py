@@ -59,6 +59,12 @@ from ..geometry import conventions_signs, good_size, lm_grid
 __all__ = ["IDGPlan", "plan_idg", "vis2dirty_idg", "dirty2vis_idg"]
 
 CHIRP_BUDGET = 0.1  # max |image chirp phase| (rad) the taper fit absorbs
+# fraction of epsilon budgeted to the uncaptured w-phase residual (sets the
+# w-bin count: halfwidth ∝ this). The bound is a worst-case corner of the
+# image at the bin edge; measured error sits ~5x under it (see
+# tests/test_gridder_idg.py::test_idg_w_resid_fraction), so 0.5 is safe and
+# ~1.5x fewer bins than the conservative 1/3.
+W_RESID_FRACTION = 0.5
 
 
 # ── free-taper separable fit ─────────────────────────────────────────
@@ -411,7 +417,7 @@ def plan_idg(
         ximax_x = nx / (2.0 * nbig_x) + 0.01
         ximax_y = ny / (2.0 * nbig_y) + 0.01
         # bin halfwidth constraints: residual phase and chirp budget
-        tol_resid = max(epsilon / 3.0, 1e-13)
+        tol_resid = max(epsilon * W_RESID_FRACTION, 1e-13)
         c1 = tol_resid / (2.0 * np.pi * resid_max) if resid_max > 0 else np.inf
         chirp_l = 2.0 * np.pi * abs(gl) * (nbig_x * cellx * ximax_x) ** 2
         chirp_m = 2.0 * np.pi * abs(gm) * (nbig_y * celly * ximax_y) ** 2
@@ -861,6 +867,115 @@ def _mm_onehot(values, sel_bf16):
     return d(vh, sel_bf16) + (d(vl, sel_bf16) + d(vll, sel_bf16))
 
 
+def _unblock_ext(plan, L, on_tpu):
+    """Blocked grid L (R_u*R_v, half*half) -> extended plane (R_u*half,
+    R_v*half): ext[t_u*half + su, t_v*half + sv] = L[t_u*R_v + t_v,
+    su*half + sv]. The TPU variant never materialises a trailing-``half``
+    axis (lane padding would blow it up 16x)."""
+    half = plan.half
+    R_u, R_v = _blk_dims(plan)
+    if on_tpu:
+        L3 = L.reshape(R_u, R_v, half * half)
+        D = jnp.stack([L3[:, :, su * half : (su + 1) * half].reshape(R_u, R_v * half) for su in range(half)])
+        return D.transpose(1, 0, 2).reshape(R_u * half, R_v * half)
+    return L.reshape(R_u, R_v, half, half).transpose(0, 2, 1, 3).reshape(R_u * half, R_v * half)
+
+
+def _block_ext(plan, arr, on_tpu):
+    """Exact transpose of :func:`_unblock_ext`: extended plane -> blocked
+    grid (R_u*R_v, half*half)."""
+    half = plan.half
+    R_u, R_v = _blk_dims(plan)
+    if on_tpu:
+        O3 = arr.reshape(R_u, half, R_v * half).transpose(1, 0, 2)  # (half, R_u, R_v*half)
+        L = jnp.zeros((R_u, R_v, half * half), arr.dtype)
+        for su in range(half):
+            L = L.at[:, :, su * half : (su + 1) * half].set(O3[su].reshape(R_u, R_v, half))
+        return L.reshape(R_u * R_v, half * half)
+    return arr.reshape(R_u, half, R_v, half).transpose(0, 2, 1, 3).reshape(R_u * R_v, half * half)
+
+
+# compact (sparse-bin) assembly pays ~4 whole-minor-row scatters of gc rows
+# instead of the dense lattice traffic; worth it when the bin occupies a
+# small fraction of the bucket lattice (wide-field many-w-bin plans)
+_COMPACT_FACTOR = 4
+
+
+def _use_compact(plan, gcap: int) -> bool:
+    return gcap * _COMPACT_FACTOR < plan.nbu * plan.nbv
+
+
+def _assemble_bin_compact(plan, p_b, bid_b):
+    """Sparse-bin transpose-equal variant of :func:`_assemble_bin`.
+
+    The dense path's cost is ~(bucket-lattice area) per bin regardless of
+    occupancy — the wide-field scaling caveat (docs/perf.md): a ~170-bin
+    plan pays ~170 dense overlap-adds. Here each quarter's one-hot matmul
+    runs on the GROUP rows (gc, S*S) @ (S*S, half*half) — cost ∝ gc — and
+    the result scatter-adds straight into the blocked grid at rows
+    (bu+a)*R_v + (bv+b): a whole-minor-row scatter (the only kind that
+    vectorises, docs/tpu-runtime-notes.md). Identical sums to the dense
+    path, just reordered per bucket."""
+    S, half = plan.S, plan.half
+    r = S // half
+    nbv = plan.nbv
+    R_u, R_v = _blk_dims(plan)
+    gc = p_b.shape[1]
+    on_tpu = jax.devices()[0].platform != "cpu"
+    bu = bid_b // nbv
+    bv = bid_b % nbv
+    planes = []
+    for c in range(2):
+        flat = p_b[c].reshape(gc, S * S)
+        L = jnp.zeros((R_u * R_v, half * half), flat.dtype)
+        for a in range(r):
+            for b in range(r):
+                sel = _sel_quarter(S, half, a, b, jnp.bfloat16)
+                q = (_mm_onehot(flat, sel) if flat.dtype == jnp.float32 and on_tpu
+                     else _MM(flat, sel.astype(flat.dtype)))
+                L = L.at[(bu + a) * R_v + (bv + b)].add(q)
+        planes.append(_fold_extended(plan, _unblock_ext(plan, L, on_tpu)))
+    return _cplx(planes[0], planes[1])
+
+
+def _extract_bin_compact(plan, grid, bid_b):
+    """Sparse-bin transpose of :func:`_assemble_bin_compact` (forward):
+    per-quarter row-gathers from the blocked grid + transposed one-hot
+    matmuls — cost ∝ gc instead of the dense lattice."""
+    S, half = plan.S, plan.half
+    r = S // half
+    ko = plan.k0_off
+    nbx, nby = plan.nbig_x, plan.nbig_y
+    ext_u, ext_v = _ext_dims(plan)
+    fu = jnp.concatenate(
+        [grid[nbx - ko :, :], grid] + ([grid[: ext_u - nbx - ko, :]] if ext_u - nbx - ko > 0 else []),
+        axis=0,
+    )
+    out = jnp.concatenate(
+        [fu[:, nby - ko :], fu] + ([fu[:, : ext_v - nby - ko]] if ext_v - nby - ko > 0 else []),
+        axis=1,
+    )
+    nbv = plan.nbv
+    R_u, R_v = _blk_dims(plan)
+    rdt = plan.phase_re.dtype
+    on_tpu = jax.devices()[0].platform != "cpu"
+    bu = bid_b // nbv
+    bv = bid_b % nbv
+    gc = bid_b.shape[0]
+    planes = []
+    for plane in (jnp.real(out).astype(rdt), jnp.imag(out).astype(rdt)):
+        L = _block_ext(plan, plane, on_tpu)
+        acc = jnp.zeros((gc, S * S), rdt)
+        for a in range(r):
+            for b in range(r):
+                q = L[(bu + a) * R_v + (bv + b)]  # (gc, half*half) row-gather
+                selT = _sel_quarter(S, half, a, b, jnp.bfloat16).T
+                acc = acc + (_mm_onehot(q, selT) if rdt == jnp.float32 and on_tpu
+                             else _MM(q, selT.astype(rdt)))
+        planes.append(acc.reshape(gc, S, S))
+    return jnp.stack(planes)
+
+
 def _assemble_bin(plan, p_b, bid_b):
     """Patches of one bin -> big grid, with no lane-padded big buffers
     and no windowed scatters (both measured fatal, docs/perf.md):
@@ -963,7 +1078,8 @@ def _idg_accumulate_bins(plan: IDGPlan, patches):
             gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
             if gc == 0:
                 continue
-            grid = _assemble_bin(plan, patches[:, gs : gs + gc], plan.bid[gs : gs + gc])
+            asm = _assemble_bin_compact if _use_compact(plan, gc) else _assemble_bin
+            grid = asm(plan, patches[:, gs : gs + gc], plan.bid[gs : gs + gc])
             big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
             a = _crop(plan, jnp.fft.fftshift(big))
             if plan.do_wgridding:
@@ -978,10 +1094,11 @@ def _idg_accumulate_bins(plan: IDGPlan, patches):
     for cap, cidx, wcs in _bin_classes(plan):
         patc = jnp.moveaxis(patP[:, cidx], 0, 1)  # (nb, 2, cap, S, S)
         bidc = bidP[cidx]
+        asm = _assemble_bin_compact if _use_compact(plan, cap) else _assemble_bin
 
-        def body(carry, xs):
+        def body(carry, xs, asm=asm):
             p_b, bid_b, wc = xs
-            grid = _assemble_bin(plan, p_b, bid_b)
+            grid = asm(plan, p_b, bid_b)
             big = jnp.fft.ifft2(grid) * (plan.nbig_x * plan.nbig_y)
             a = _crop(plan, jnp.fft.fftshift(big))
             if plan.do_wgridding:
@@ -1110,7 +1227,8 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
                 continue
             yb = y * _screen(plan, plan.bin_wc[b], 1.0, cdt) if plan.do_wgridding else y
             grid = jnp.fft.fft2(jnp.fft.ifftshift(_pad(plan, yb)))
-            p_b = _extract_bin(plan, grid, plan.bid[gs : gs + gc])
+            ext = _extract_bin_compact if _use_compact(plan, gc) else _extract_bin
+            p_b = ext(plan, grid, plan.bid[gs : gs + gc])
             patches = p_b if patches is None else jnp.concatenate([patches, p_b], axis=1)
         return patches
     # many bins: per-size-class scans (see _idg_accumulate_bins), results
@@ -1119,12 +1237,13 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
     out = jnp.zeros((2, plan.ngroups, plan.S, plan.S), rdt)
     for cap, cidx, wcs in _bin_classes(plan):
         bidc = bidP[cidx]
+        ext = _extract_bin_compact if _use_compact(plan, cap) else _extract_bin
 
-        def body(_, xs):
+        def body(_, xs, ext=ext):
             bid_b, wc = xs
             yb = y * _screen(plan, wc, 1.0, cdt) if plan.do_wgridding else y
             grid = jnp.fft.fft2(jnp.fft.ifftshift(_pad(plan, yb)))
-            return None, _extract_bin(plan, grid, bid_b)
+            return None, ext(plan, grid, bid_b)
 
         _, p_c = jax.lax.scan(body, None, (bidc, wcs.astype(plan.nm1.dtype)))
         # p_c: (nb, 2, cap, S, S) -> rows at global group indices

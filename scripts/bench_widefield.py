@@ -1,0 +1,107 @@
+"""Wide-field (many w-bin) IDG gridding on the real TPU: dense vs compact
+per-bin assembly (the docs/perf.md scaling caveat).
+
+Run standalone (ONE tpu process at a time — docs/tpu-runtime-notes.md):
+    python scripts/bench_widefield.py [out.json]
+
+A ~0.03 rad field at 1024 pixels with |w| up to ~2000 lambda forces the
+plan into the size-classed ``lax.scan`` assembly path (O(100) w-bins).
+The dense overlap-add costs ~(bucket-lattice area) per bin regardless of
+occupancy; the compact path scatters patch quarters straight into the
+blocked grid, cost ~(groups in bin). Methodology per tpu-runtime-notes:
+chained distinct inputs + (1,)-f32 checksum fetch.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "widefield_results.json"
+NREP = 3
+RESULTS = {}
+
+
+def emit(key, obj):
+    RESULTS[key] = obj
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    os.replace(tmp, OUT)
+    print(f"{key}: {obj}", flush=True)
+
+
+cks = jax.jit(lambda d: jnp.sum(jnp.abs(d)).reshape(1))
+
+
+def timed(call, nrep=NREP):
+    def chain():
+        acc = None
+        for i in range(nrep):
+            d = call(i)
+            acc = d if acc is None else acc + d
+        return np.asarray(cks(acc))
+
+    chain()
+    t0 = time.time()
+    chain()
+    return (time.time() - t0) / nrep
+
+
+def main():
+    t0 = time.time()
+    np.asarray(jnp.ones((8, 8)) * 2.0)
+    emit("warmup_sec", round(time.time() - t0, 1))
+
+    from pfb_imaging_tpu.ops import gridder_idg as gi
+
+    nx = 1024
+    cell = 0.03 / nx
+    nvis = 2_000_000
+    nchan = 4
+    nrow = nvis // nchan
+    rng = np.random.default_rng(7)
+    uvw = np.empty((nrow, 3))
+    uvw[:, 0] = rng.uniform(-8000, 8000, nrow)
+    uvw[:, 1] = rng.uniform(-8000, 8000, nrow)
+    uvw[:, 2] = rng.uniform(-2200, 2200, nrow)
+    freq = np.linspace(0.9e9, 1.1e9, nchan)
+
+    t0 = time.time()
+    plan = gi.plan_idg(
+        uvw, freq, nx=nx, ny=nx, cellx=cell, celly=cell,
+        epsilon=1e-5, do_wgridding=True, dtype=np.float32,
+    )
+    emit("plan", {"sec": round(time.time() - t0, 1), "nbins": plan.nbins,
+                  "ngroups": plan.ngroups, "nvis": nvis})
+
+    vr = rng.standard_normal((nrow, nchan)).astype(np.float32)
+    vi = rng.standard_normal((nrow, nchan)).astype(np.float32)
+    vre = [jnp.asarray(vr + i) for i in range(NREP)]
+    vim = [jnp.asarray(vi) for _ in range(NREP)]
+    img = rng.standard_normal((nx, nx)).astype(np.float32)
+    imgs = [jnp.asarray(img + 0.01 * i) for i in range(NREP)]
+
+    for mode, factor in (("compact", gi._COMPACT_FACTOR), ("dense", 0)):
+        gi._COMPACT_FACTOR = factor
+        jax.clear_caches()
+        tg = timed(lambda i: gi.vis2dirty_idg(plan, vre[i], vis_im=vim[i]))
+        emit(f"vis2dirty_{mode}", {"ms": round(tg * 1e3, 1),
+                                   "mvis_per_s": round(nvis / tg / 1e6, 1)})
+        td = timed(lambda i: gi.dirty2vis_idg(plan, imgs[i], split=True))
+        emit(f"dirty2vis_{mode}", {"ms": round(td * 1e3, 1),
+                                   "mvis_per_s": round(nvis / td / 1e6, 1)})
+
+
+if __name__ == "__main__":
+    main()
