@@ -31,6 +31,13 @@ from ..utils.store import TreeStore, band_key, part_key
 
 log = get_logger("IMAGER")
 
+# gridder="auto" routes layouts whose IDG slot padding (group slots per
+# visibility) exceeds this to the classic w-stacking gridder: each padded
+# slot costs phase-synthesis + patch-eval work, so a 0.03 rad field with
+# |w| < 2200 lambda (283 w-bins, 116 slots/vis measured) would run ~100x
+# slower through IDG than its dense-occupancy headline (docs/perf.md)
+IDG_MAX_SLOT_FACTOR = 8.0
+
 
 def band_mapping(freqs: np.ndarray, nband: int):
     """Split channels into nband contiguous bins (reference band-edge
@@ -167,6 +174,35 @@ def imager(
     from concurrent.futures import ThreadPoolExecutor
 
     use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
+    if gridder == "auto" and use_idg and parts:
+        # occupancy probe on the largest grid (PSF): wide-field many-w-bin
+        # layouts collapse IDG's group occupancy (~100x slot padding,
+        # docs/perf.md) — those route to the classic w-stacking gridder
+        from ..ops.gridder_idg import idg_slot_factor
+
+        g0 = xds.group(parts[0])
+        sf, nb = idg_slot_factor(
+            np.asarray(g0.read("UVW")),
+            np.asarray(g0.read("FREQ")),
+            nx=nx_psf,
+            ny=ny_psf,
+            cellx=cell_rad,
+            celly=cell_rad,
+            l0=g0.attrs.get("l0", 0.0),
+            m0=g0.attrs.get("m0", 0.0),
+            epsilon=epsilon,
+            do_wgridding=do_wgridding,
+            dtype=dtype,
+        )
+        if sf > IDG_MAX_SLOT_FACTOR:
+            log.info(
+                "gridder auto -> stack: IDG slot padding %.0fx (%d w-bins) "
+                "exceeds the %.0fx budget on this layout",
+                sf,
+                nb,
+                IDG_MAX_SLOT_FACTOR,
+            )
+            use_idg = False
     if use_idg:
         from ..ops.gridder_idg import dirty2vis_idg, plan_idg, vis2dirty_idg
 
@@ -411,10 +447,10 @@ def residual_from_parts(
     dirty = np.asarray(band_node.read("DIRTY"))
     nx, ny = dirty.shape
     terms = []
-    use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
+    want_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
     for pk in band_node.groups():
         pg = band_node.group(pk)
-        key = (str(pg.path), _part_stamp(pg), nx, ny, epsilon, do_wgridding, double_precision, use_idg)
+        key = (str(pg.path), _part_stamp(pg), nx, ny, epsilon, do_wgridding, double_precision, want_idg)
         cached = _PLAN_CACHE.get(key)
         if cached is None:
             kw = dict(
@@ -433,10 +469,22 @@ def residual_from_parts(
             f = np.asarray(pg.read("FREQ"))
             wgt_j = jnp.asarray(np.asarray(pg.read("WEIGHT")))
             mask_j = jnp.asarray(np.asarray(pg.read("MASK")))
-            if use_idg:
+            is_idg = want_idg
+            plan = None
+            if want_idg:
                 from ..ops.gridder_idg import plan_idg, to_group_layout
 
-                plan = plan_idg(uvw, f, **kw)
+                try:
+                    # "auto" bounds the slot padding so sparse-occupancy
+                    # partitions (wide-field many-w-bin layouts) fall back
+                    # to the w-stacking gridder per partition
+                    plan = plan_idg(
+                        uvw, f, max_slot_factor=IDG_MAX_SLOT_FACTOR if gridder == "auto" else None, **kw
+                    )
+                except ValueError as e:
+                    log.info("partition %s: %s", pk, e)
+                    is_idg = False
+            if is_idg:
                 # group-layout masked weights: the whole degrid->weight->
                 # grid round trip then runs gather-free (phases and fold
                 # signs cancel inside the sandwich; hessian_vis_idg)
@@ -444,17 +492,17 @@ def residual_from_parts(
             else:
                 plan = plan_wgridder(uvw, f, **kw)
             beam = jnp.asarray(np.asarray(pg.read("BEAM"))) if pg.has("BEAM") else None
-            cached = (plan, wgt_j, mask_j, beam)
+            cached = (plan, wgt_j, mask_j, beam, is_idg)
             while len(_PLAN_CACHE) >= _PLAN_CACHE_CAP:
                 _PLAN_CACHE.popitem(last=False)
             _PLAN_CACHE[key] = cached
         else:
             _PLAN_CACHE.move_to_end(key)
-        plan, wgt, mask, beam = cached
+        plan, wgt, mask, beam, is_idg = cached
         # beam applied once on the degrid side (reference
         # residual_from_partitions: dirty - sum_p G_p^T W_p G_p (beam_p m))
         xin = jnp.asarray(model_b) if beam is None else jnp.asarray(model_b) * beam
-        if use_idg:
+        if is_idg:
             from ..ops.gridder_idg import hessian_vis_idg
 
             terms.append(hessian_vis_idg(plan, xin, wgt_g=wgt))

@@ -283,6 +283,49 @@ def _build_A_matrices(dus, phi, wc_re, wc_im, xc):
     return jnp.concatenate([r[0] for r in res]), jnp.concatenate([r[1] for r in res])
 
 
+def _check_slot_budget(ng, G, nvis, nbins, max_slot_factor):
+    """Refuse plans whose group padding explodes the slot count.
+
+    IDG's unit of work is the (w-bin, uv-bucket) group: every group costs
+    G slots of phase synthesis + patch-eval FLOPs + plan memory no matter
+    how few visibilities it holds. On wide fields the w-bin count
+    multiplies the occupied lattice and occupancy collapses (measured:
+    0.03 rad field, |w| < 2200 lambda, 2M vis -> 283 bins, 1.82M groups,
+    116 slots/vis, 170 s of planning — docs/perf.md). Such layouts belong
+    on the classic w-stacking gridder (ops/gridder.py), which the
+    reference's ducc0 backend uses unconditionally (operators/gridder.py).
+    """
+    if max_slot_factor is None or nvis == 0:
+        return
+    sf = ng * G / nvis
+    if sf > max_slot_factor:
+        raise ValueError(
+            f"IDG slot padding {sf:.0f}x the visibility count (ngroups={ng}, "
+            f"G={G}, nvis={nvis}, nbins={nbins}): w-bin x uv-bucket occupancy "
+            "too sparse for this field. Use the w-stacking gridder "
+            "(gridder='stack'), or raise max_slot_factor to force IDG."
+        )
+
+
+def idg_slot_factor(uvw, freq, **kw):
+    """Cheap IDG viability probe: (slots-per-visibility, nbins).
+
+    Runs only the bucket/count pass of :func:`plan_idg` (~1 s per 2M vis
+    through the native core) — no group fill, no phase matrices, no
+    device transfers. ``core.imager``'s ``gridder="auto"`` routes layouts
+    whose padding factor exceeds its budget to the classic w-stacking
+    gridder instead of letting IDG's plan/eval costs blow up ~100x.
+    """
+    nvis = uvw.shape[0] * freq.shape[0]
+    if nvis == 0:
+        return 1.0, 1
+    G = int(kw.get("group_size", 128))
+    kw = dict(kw, count_only=True)
+    kw.pop("max_slot_factor", None)
+    nbins, gcount, _ = plan_idg(uvw, freq, **kw)
+    return sum(gcount) * G / nvis, nbins
+
+
 def plan_idg(
     uvw: np.ndarray,
     freq: np.ndarray,
@@ -311,6 +354,7 @@ def plan_idg(
     count_only: bool = False,
     eval_backend: str = "auto",
     hermitian: bool = True,
+    max_slot_factor: float | None = None,
 ) -> IDGPlan:
     """Host-side IDG planning: bucketing, taper fit, phase matrices, bins.
 
@@ -475,6 +519,7 @@ def plan_idg(
         bin_gstart = np.concatenate([[0], np.cumsum(bin_gcount)])[:-1]
         if count_only:
             return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi)
+        _check_slot_budget(ng, G, nvis, nbins, max_slot_factor)
         cg_idx, du_g, dv_g, phiu_g, phiv_g, phase_g, inv_orig = idg_fill_groups(
             order, starts, counts, gbase[:-1], G, ng, nvis, payload
         )
@@ -543,6 +588,7 @@ def plan_idg(
 
         if count_only:
             return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi)
+        _check_slot_budget(ng, G, nvis, nbins, max_slot_factor)
 
         # inverse map for degrid: ORIGINAL flat index -> flat (g*G + slot)
         inv_orig = np.empty(nvis, np.int64)

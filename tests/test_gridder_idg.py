@@ -243,3 +243,33 @@ def test_idg_many_bins_scan_path(rng):
     v = np.asarray(dirty2vis_idg(plan, jnp.asarray(img)))
     vo = np.asarray(dirty2vis_dft(jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(img), divide_by_n=False, **kw))
     assert np.abs(v - vo).max() / np.abs(vo).max() < TOL
+
+
+def test_idg_slot_budget_guard(rng):
+    """Sparse (w-bin x bucket) occupancy trips the slot budget; the probe
+    reports the padding factor without building the plan (the imager's
+    gridder="auto" routing, core/imager.py)."""
+    from pfb_imaging_tpu.ops.gridder_idg import idg_slot_factor
+
+    nrow, nx = 500, 128
+    cell = 2.5e-4
+    uvw = rng.uniform(-800, 800, (nrow, 3))
+    uvw[:, 2] = rng.uniform(-2200, 2200, nrow)  # wide w spread -> many bins
+    freq = np.array([1e9])
+    kw = dict(nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=EPS, do_wgridding=True)
+    sf, nbins = idg_slot_factor(uvw, freq, **kw)
+    assert nbins > 1 and sf > 8.0
+    with pytest.raises(ValueError, match="slot padding"):
+        plan_idg(uvw, freq, max_slot_factor=8.0, **kw)
+    # None (the default) still builds the plan
+    plan = plan_idg(uvw, freq, **kw)
+    assert plan.ngroups * plan.G == pytest.approx(sf * nrow, rel=1e-6)
+
+
+def test_idg_slot_budget_dense_ok(rng):
+    """Dense narrow-field layouts stay within the budget (IDG retained)."""
+    uvw, freq, vis, kw = _problem(rng, nrow=4000)
+    plan = plan_idg(uvw, freq, epsilon=EPS, do_wgridding=True, max_slot_factor=8.0, **kw)
+    d = np.asarray(vis2dirty_idg(plan, jnp.asarray(vis)))
+    do = np.asarray(vis2dirty_dft(jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(vis), **kw))
+    assert np.abs(d - do).max() / np.abs(do).max() < TOL
