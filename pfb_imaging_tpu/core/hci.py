@@ -62,7 +62,9 @@ def hci(
     freqs_all = np.asarray(xds.group(keys[0]).read("FREQ"))
     splits = np.array_split(np.arange(freqs_all.size), freq_chunks)
 
-    use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
+    from ..ops.gridder_idg import IDG_MIN_EPS
+
+    use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= IDG_MIN_EPS)
     if use_idg:
         from ..ops.gridder_idg import dirty2vis_idg as d2v, plan_idg as planner, vis2dirty_idg as v2d
     else:

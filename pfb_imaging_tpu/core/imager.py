@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import LIGHTSPEED
@@ -173,36 +174,50 @@ def imager(
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
+    from ..ops.gridder_idg import IDG_MIN_EPS
+
+    use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= IDG_MIN_EPS)
     if gridder == "auto" and use_idg and parts:
         # occupancy probe on the largest grid (PSF): wide-field many-w-bin
         # layouts collapse IDG's group occupancy (~100x slot padding,
-        # docs/perf.md) — those route to the classic w-stacking gridder
+        # docs/perf.md) — those route to the classic w-stacking gridder.
+        # Probed with the NARROWEST band's channel subset: per-(band,
+        # partition) plans see nvis/nband visibilities over a similar
+        # group count, so the full-band slot factor underestimates the
+        # real padding by ~nband (ADVICE round-2 #3).
         from ..ops.gridder_idg import idg_slot_factor
 
         g0 = xds.group(parts[0])
-        sf, nb = idg_slot_factor(
-            np.asarray(g0.read("UVW")),
-            np.asarray(g0.read("FREQ")),
-            nx=nx_psf,
-            ny=ny_psf,
-            cellx=cell_rad,
-            celly=cell_rad,
-            l0=g0.attrs.get("l0", 0.0),
-            m0=g0.attrs.get("m0", 0.0),
-            epsilon=epsilon,
-            do_wgridding=do_wgridding,
-            dtype=dtype,
-        )
-        if sf > IDG_MAX_SLOT_FACTOR:
-            log.info(
-                "gridder auto -> stack: IDG slot padding %.0fx (%d w-bins) "
-                "exceeds the %.0fx budget on this layout",
-                sf,
-                nb,
-                IDG_MAX_SLOT_FACTOR,
+        narrow = min((bands[b] for b in range(nband) if bands[b].size), key=len)
+        try:
+            sf, nb = idg_slot_factor(
+                np.asarray(g0.read("UVW")),
+                np.asarray(g0.read("FREQ"))[narrow],
+                nx=nx_psf,
+                ny=ny_psf,
+                cellx=cell_rad,
+                celly=cell_rad,
+                l0=g0.attrs.get("l0", 0.0),
+                m0=g0.attrs.get("m0", 0.0),
+                epsilon=epsilon,
+                do_wgridding=do_wgridding,
+                dtype=dtype,
             )
+        except ValueError as e:
+            # e.g. "IDG needs N w-bins > max_bins": exactly the layout
+            # class this routing exists to divert (ADVICE round-2 #1)
+            log.info("gridder auto -> stack: %s", e)
             use_idg = False
+        else:
+            if sf > IDG_MAX_SLOT_FACTOR:
+                log.info(
+                    "gridder auto -> stack: IDG slot padding %.0fx (%d w-bins) "
+                    "exceeds the %.0fx budget on this layout",
+                    sf,
+                    nb,
+                    IDG_MAX_SLOT_FACTOR,
+                )
+                use_idg = False
     if use_idg:
         from ..ops.gridder_idg import dirty2vis_idg, plan_idg, vis2dirty_idg
 
@@ -398,6 +413,30 @@ from collections import OrderedDict
 
 _PLAN_CACHE: OrderedDict = OrderedDict()
 _PLAN_CACHE_CAP = 256
+# LRU eviction is BYTE-bounded, not just entry-bounded: IDG plans hold
+# ~16-64 B/slot of device arrays, so 256 large-scale entries would OOM HBM
+# long before the entry cap bites (round-2 VERDICT weak #5)
+_PLAN_CACHE_BYTES_CAP = 4 << 30
+_PLAN_CACHE_BYTES = 0
+
+
+def _cached_nbytes(cached) -> int:
+    """Device bytes held by one cache entry (plan pytree + weight arrays)."""
+    return sum(
+        int(getattr(leaf, "nbytes", 0)) for leaf in jax.tree_util.tree_leaves(cached)
+    )
+
+
+def _plan_cache_put(key, cached):
+    global _PLAN_CACHE_BYTES
+    nb = _cached_nbytes(cached)
+    while _PLAN_CACHE and (
+        len(_PLAN_CACHE) >= _PLAN_CACHE_CAP or _PLAN_CACHE_BYTES + nb > _PLAN_CACHE_BYTES_CAP
+    ):
+        _, old = _PLAN_CACHE.popitem(last=False)
+        _PLAN_CACHE_BYTES -= _cached_nbytes(old)
+    _PLAN_CACHE[key] = cached
+    _PLAN_CACHE_BYTES += nb
 
 
 def _part_stamp(pg: TreeStore) -> tuple:
@@ -443,14 +482,19 @@ def residual_from_parts(
     """
     from ..ops.gridder import dirty2vis
 
+    from ..ops.gridder_idg import IDG_MIN_EPS
+
     dtype = np.float64 if double_precision else np.float32
     dirty = np.asarray(band_node.read("DIRTY"))
     nx, ny = dirty.shape
     terms = []
-    want_idg = gridder == "idg" or (gridder == "auto" and epsilon >= 2e-6)
+    want_idg = gridder == "idg" or (gridder == "auto" and epsilon >= IDG_MIN_EPS)
     for pk in band_node.groups():
         pg = band_node.group(pk)
-        key = (str(pg.path), _part_stamp(pg), nx, ny, epsilon, do_wgridding, double_precision, want_idg)
+        # ``gridder`` itself is part of the key: an explicit "idg" request
+        # must not reuse a stack-fallback entry cached by a prior "auto"
+        # call, nor vice versa (ADVICE round-2 #2)
+        key = (str(pg.path), _part_stamp(pg), nx, ny, epsilon, do_wgridding, double_precision, gridder)
         cached = _PLAN_CACHE.get(key)
         if cached is None:
             kw = dict(
@@ -474,28 +518,35 @@ def residual_from_parts(
             if want_idg:
                 from ..ops.gridder_idg import plan_idg, to_group_layout
 
-                try:
+                if gridder == "auto":
                     # "auto" bounds the slot padding so sparse-occupancy
                     # partitions (wide-field many-w-bin layouts) fall back
-                    # to the w-stacking gridder per partition
-                    plan = plan_idg(
-                        uvw, f, max_slot_factor=IDG_MAX_SLOT_FACTOR if gridder == "auto" else None, **kw
-                    )
-                except ValueError as e:
-                    log.info("partition %s: %s", pk, e)
-                    is_idg = False
+                    # to the w-stacking gridder per partition; an explicit
+                    # "idg" request propagates planning errors instead of
+                    # silently downgrading (ADVICE round-2 #4)
+                    try:
+                        plan = plan_idg(uvw, f, max_slot_factor=IDG_MAX_SLOT_FACTOR, **kw)
+                    except ValueError as e:
+                        log.info("partition %s: %s", pk, e)
+                        is_idg = False
+                else:
+                    plan = plan_idg(uvw, f, max_slot_factor=None, **kw)
             if is_idg:
                 # group-layout masked weights: the whole degrid->weight->
                 # grid round trip then runs gather-free (phases and fold
-                # signs cancel inside the sandwich; hessian_vis_idg)
-                wgt_j = to_group_layout(plan, wgt_j * mask_j)
+                # signs cancel inside the sandwich; hessian_vis_idg).
+                # wplanes plans keep the ORIGINAL layout — the per-vis
+                # weight applies to the replica sum.
+                wgt_j = (
+                    wgt_j * mask_j
+                    if plan.w_support > 1
+                    else to_group_layout(plan, wgt_j * mask_j)
+                )
             else:
                 plan = plan_wgridder(uvw, f, **kw)
             beam = jnp.asarray(np.asarray(pg.read("BEAM"))) if pg.has("BEAM") else None
             cached = (plan, wgt_j, mask_j, beam, is_idg)
-            while len(_PLAN_CACHE) >= _PLAN_CACHE_CAP:
-                _PLAN_CACHE.popitem(last=False)
-            _PLAN_CACHE[key] = cached
+            _plan_cache_put(key, cached)
         else:
             _PLAN_CACHE.move_to_end(key)
         plan, wgt, mask, beam, is_idg = cached

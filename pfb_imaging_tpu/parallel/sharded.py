@@ -175,8 +175,11 @@ def plan_idg_sharded(uvw, freq, nshards: int, **kw):
     if nrow % nshards:
         raise ValueError(f"nrow={nrow} not divisible by nshards={nshards} — pad with zero-weight rows")
     rows = nrow // nshards
-    nbins, _, (wlo, whi) = plan_idg(uvw, freq, count_only=True, **kw)
+    nbins, _, (wlo, whi, ws) = plan_idg(uvw, freq, count_only=True, **kw)
     force = (wlo, whi, nbins)
+    # pin the scheme the global count pass chose: a shard with a narrower
+    # w spread must not pick a different w_mode than its peers
+    kw = dict(kw, w_mode="wplanes" if ws > 1 else "chirp")
     counts = []
     for i in range(nshards):
         _, cnt, _ = plan_idg(
