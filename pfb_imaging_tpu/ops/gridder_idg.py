@@ -72,11 +72,13 @@ IDG_MIN_EPS = 1e-8
 
 CHIRP_BUDGET = 0.1  # max |image chirp phase| (rad) the taper fit absorbs
 # fraction of epsilon budgeted to the uncaptured w-phase residual (sets the
-# w-bin count: halfwidth ∝ this). The bound is a worst-case corner of the
-# image at the bin edge; measured error sits ~5x under it (see
-# tests/test_gridder_idg.py::test_idg_w_resid_fraction), so 0.5 is safe and
-# ~1.5x fewer bins than the conservative 1/3.
-W_RESID_FRACTION = 0.5
+# chirp-mode w-bin count: halfwidth ∝ this). The bound is a worst-case
+# corner of the image at the very edge of a bin; measured end-to-end error
+# sits ~5-7x under it (round-3 tight-eps oracle: 1.5e-8 at eps=1e-7 with
+# 0.5), and the taper-fit contribution at tight eps is negligible (4.3e-9),
+# so the full epsilon is budgeted here — bins are the dominant per-eval
+# cost (one dense assembly + big iFFT each, ~14 ms/bin at 1800^2).
+W_RESID_FRACTION = 1.0
 
 
 # ── free-taper separable fit ─────────────────────────────────────────
@@ -288,6 +290,7 @@ def _split_f32(a):
         "bin_wc",
         "do_wgridding",
         "fused",
+        "onfly",
         "hermitian",
         "w_support",
     ],
@@ -320,6 +323,7 @@ class IDGPlan:
     bin_wc: tuple  # per-bin centre w (wavelengths)
     do_wgridding: bool
     fused: bool  # True: Pallas fused eval (scal/wcu8/wcv8); A arrays dummy
+    onfly: bool  # True: A matrices rebuilt per slab at runtime (scal 6-row)
     hermitian: bool  # True: v<0 rows folded; sg carries the conj signs
     w_support: int  # 1 = chirp mode; >1 = w-plane kernel support (wplanes)
     # device arrays
@@ -531,6 +535,7 @@ def plan_idg(
             f"IDG accuracy envelope stops at epsilon={IDG_MIN_EPS}; use the "
             "classic w-stacking gridder (ops/gridder.py) below it"
         )
+    rdt32 = np.dtype(dtype) == np.float32
     if subgrid is None:
         # epsilon-adaptive subgrid: the SVD taper fit reaches 3.8e-6 at
         # (S=16, half=8, sigma=1.5) and 4.3e-9 at (S=24, half=12) — S=16
@@ -752,18 +757,29 @@ def plan_idg(
         g_of = gbase[bucket_rank] + pos // G
         slot_of = pos % G
         oi_s = oi[order]
-        cg_idx = np.full((ng, G), nvis, np.int64)
+        # resolve the eval backend NOW and allocate the group arrays at
+        # their FINAL padded size: the fused/onfly block padding would
+        # otherwise re-copy every (ng, G) buffer (~42 s of concatenates
+        # at 76M slots on this host)
+        eval_backend = _resolve_backend(eval_backend, S, G, rdt32, ng)
+        blk = {"fused": idg_fused_BG(), "onfly": _ONFLY_SLAB}.get(eval_backend, 1)
+        ng = -(-max(ng, 1) // blk) * blk
+        # int32/f32-typed group arrays: the f64 (ng, G) buffers at
+        # wplanes scale (~76M slots) are several GB of host temps
+        cg_idx = np.full((ng, G), nvis, np.int32)
         cg_idx[g_of, slot_of] = oi_s
         du_g = np.zeros((ng, G))
         dv_g = np.zeros((ng, G))
-        phiu_g = np.zeros((ng, G))  # no chirp: dw handled by the w kernel
-        phiv_g = np.zeros((ng, G))
+        phiu_g = np.zeros((ng, G), np.float32)  # no chirp: w kernel owns dw
+        phiv_g = np.zeros((ng, G), np.float32)
         bu_s = bu[oi_s]
         bv_s = bv[oi_s]
         du_g[g_of, slot_of] = um[oi_s] - (bu_s * half - k0_off)
         dv_g[g_of, slot_of] = vm[oi_s] - (bv_s * half - k0_off)
         bid_g = np.zeros(ng, np.int64)
-        bin_g = np.zeros(ng, np.int64)
+        # sentinel tail groups (the early blk padding) must sort BEYOND
+        # the last plane so the searchsorted ranges exclude them
+        bin_g = np.full(ng, nbins, np.int64)
         bid_g[g_of] = bu_s * nbv + bv_s
         bin_g[g_of] = pl[order]
         bin_gstart = np.searchsorted(bin_g, np.arange(nbins), side="left")
@@ -778,7 +794,8 @@ def plan_idg(
         # the image correction divides by the kernel FT at n-1-z0)
         dwp = w_lam[oi_s] - (wk_w0 + pl[order] * wk_dw)
         wgt_k = np.asarray(es_kernel(2.0 * dwp / (Ws * wk_dw), wk_beta))
-        phase_g = np.zeros((ng, G), np.complex128)
+        cdt_g = np.complex64 if rdt32 else np.complex128
+        phase_g = np.zeros((ng, G), cdt_g)
         phase_g[g_of, slot_of] = phase_fwd[oi_s] * wgt_k * np.exp(2j * np.pi * dwp * wk_z0)
         rep_pos = np.empty(nslots, np.int64)
         rep_pos[order] = g_of * G + slot_of
@@ -885,7 +902,9 @@ def plan_idg(
             raise ValueError("bin_gcap smaller than this shard's group count")
         new_start = np.concatenate([[0], np.cumsum(bin_gcap)])[:-1]
         new_ng = int(sum(bin_gcap))
-        remap = np.zeros(ng, np.int64)
+        # -1 marks groups outside every bin range (the early blk-padding
+        # sentinels of the wplanes branch) — they are dropped, not mapped
+        remap = np.full(ng, -1, np.int64)
         for b in range(nbins):
             s, c = bin_gstart[b], bin_gcount[b]
             remap[s : s + c] = new_start[b] + np.arange(c)
@@ -893,7 +912,8 @@ def plan_idg(
         def _pad_groups(arr, fill):
             shp = (new_ng,) + arr.shape[1:]
             out = np.full(shp, fill, arr.dtype)
-            out[remap] = arr
+            sel = remap >= 0
+            out[remap[sel]] = arr[sel]
             return out
 
         cg_idx = _pad_groups(cg_idx, nvis)
@@ -922,22 +942,19 @@ def plan_idg(
 
     from . import idg_fused
 
-    if eval_backend == "auto":
-        eval_backend = (
-            "fused"
-            if idg_fused.fused_supported(S, G, rdt) and jax.default_backend() != "cpu"
-            else "einsum"
-        )
+    eval_backend = _resolve_backend(eval_backend, S, G, rdt32, ng)
     fused = eval_backend == "fused"
+    onfly = eval_backend == "onfly"
     if fused and not idg_fused.fused_supported(S, G, rdt):
         raise ValueError("fused IDG eval needs subgrid=16, group_size=128, f32")
 
-    if fused:
-        # pad the group axis to a multiple of the kernel block with
+    if fused or onfly:
+        # pad the group axis to a multiple of the kernel/slab block with
         # sentinel groups (all slots empty, bucket 0, zero phases) —
         # they sit beyond every bin range, so the accumulate/extract
         # loops never touch them and the kernel just computes zeros
-        ng_pad = -(-max(ng, 1) // idg_fused.BG) * idg_fused.BG
+        blk = idg_fused.BG if fused else _ONFLY_SLAB
+        ng_pad = -(-max(ng, 1) // blk) * blk
         if ng_pad != ng:
             extra = ng_pad - ng
             pad2 = lambda a, fill: np.concatenate(  # noqa: E731
@@ -968,11 +985,34 @@ def plan_idg(
     if fused:
         dummy = jnp.zeros((1, 1, 1), rdt)
         au_re = au_im = av_re = av_im = dummy
-        scal = jnp.asarray(
-            np.stack([tfac * du_g, phiu_g, tfac * dv_g, phiv_g]).astype(np.float32)
-        )
+        # row-wise fill: a single np.stack of f64 (ng, G) sources peaks
+        # at several GB of host temps at wplanes scale (swap thrash)
+        scal_np = np.empty((4, ng, G), np.float32)
+        scal_np[0] = tfac * du_g
+        scal_np[1] = phiu_g
+        scal_np[2] = tfac * dv_g
+        scal_np[3] = phiv_g
+        scal = jnp.asarray(scal_np)
         wcu8 = jnp.asarray(idg_fused.wc_perm_kron(wcu))
         wcv8 = jnp.asarray(idg_fused.wc_perm_kron(wcv))
+    elif onfly:
+        # angles only (24 B/slot): [du_hi, du_lo, phi] per axis, split so
+        # the runtime slab build keeps the split-precision phase accuracy
+        dummy = jnp.zeros((1, 1, 1), rdt)
+        au_re = au_im = av_re = av_im = dummy
+        scal_np = np.empty((6, ng, G), rdt)
+        a = tfac * du_g
+        scal_np[0] = a
+        scal_np[1] = (a - scal_np[0].astype(np.float64)) if rdt32 else 0.0
+        scal_np[2] = phiu_g
+        a = tfac * dv_g
+        scal_np[3] = a
+        scal_np[4] = (a - scal_np[3].astype(np.float64)) if rdt32 else 0.0
+        scal_np[5] = phiv_g
+        del a
+        scal = jnp.asarray(scal_np)
+        wcu8 = jnp.asarray(np.stack([wcu.real, wcu.imag]).astype(rdt))
+        wcv8 = jnp.asarray(np.stack([wcv.real, wcv.imag]).astype(rdt))
     else:
         if rdt == np.float32:
             auh, aul = _split_f32(tfac * du_g)
@@ -1040,6 +1080,7 @@ def plan_idg(
         bin_wc=tuple(float(x) for x in wc),
         do_wgridding=do_w,
         fused=fused,
+        onfly=onfly,
         hermitian=bool(hermitian),
         w_support=int(w_support),
         au_re=jnp.asarray(au_re),
@@ -1144,6 +1185,8 @@ def _idg_patches_uv(plan: IDGPlan, vals):
             plan.scal, vals, plan.wcu8, plan.wcv8,
             interpret=jax.default_backend() == "cpu",
         )
+    if plan.onfly:
+        return _patches_onfly(plan, vals)
     vre, vim = vals[0][:, None, :], vals[1][:, None, :]
     bre = plan.av_re * vre - plan.av_im * vim
     bim = plan.av_re * vim + plan.av_im * vre
@@ -1404,6 +1447,101 @@ def _assemble_bin(plan, p_b, bid_b):
 
 
 _UNROLL_BINS = 10  # above this, same-size bin classes run as lax.scan
+# the FORWARD unrolls further: its scan path stacks (nbins_class, 2, cap,
+# S, S) patches before the group-order scatter — at wplanes scale (14
+# planes x 64k-group caps) that is GBs of temps and a compiler-killing
+# graph, while 14-48 unrolled FFT bodies compile fine. Chirp plans with
+# hundreds of bins (small caps) still take the scan.
+_UNROLL_BINS_FWD = 48
+
+# groups per slab of the "onfly" backend's lax.scan (A rebuilt per slab:
+# transients ~(SLAB, S, G) x ~10 arrays ~ 250 MB at S=24)
+_ONFLY_SLAB = 2048
+
+# above this, eval_backend="auto" stops materialising the einsum A
+# matrices and rebuilds them per slab at runtime
+_EINSUM_A_BYTES_MAX = 2 << 30
+
+
+def idg_fused_BG() -> int:
+    from . import idg_fused
+
+    return idg_fused.BG
+
+
+def _resolve_backend(eval_backend: str, S: int, G: int, rdt32: bool, ng: int) -> str:
+    """auto -> fused (TPU, S=16) / onfly (A would not fit HBM) / einsum."""
+    if eval_backend != "auto":
+        return eval_backend
+    from . import idg_fused
+
+    rdt = np.float32 if rdt32 else np.float64
+    if idg_fused.fused_supported(S, G, rdt) and jax.default_backend() != "cpu":
+        return "fused"
+    if 4 * ng * S * G * np.dtype(rdt).itemsize > _EINSUM_A_BYTES_MAX:
+        return "onfly"
+    return "einsum"
+
+
+def _onfly_xc_wc(plan):
+    rdt = plan.phase_re.dtype
+    xc = jnp.asarray(np.fft.fftfreq(plan.S) * plan.S, rdt)
+    return xc, plan.wcu8[0], plan.wcu8[1], plan.wcv8[0], plan.wcv8[1]
+
+
+@jax.jit
+def _patches_onfly(plan: IDGPlan, vals):
+    """Adjoint patch evaluation with per-slab A rebuild (lax.scan).
+
+    Same math as the einsum backend — :func:`_build_A_slab` (including
+    the split-precision f32 phases) feeding the four real einsums — but
+    the (ng, S, G) A matrices never materialise: at wplanes tight-eps
+    scale they are ~400 B/slot (7+ GB), far beyond HBM."""
+    S, G = plan.S, plan.G
+    ng = plan.ngroups
+    nslab = ng // _ONFLY_SLAB
+    xc, wcur, wcui, wcvr, wcvi = _onfly_xc_wc(plan)
+    sc = jnp.moveaxis(plan.scal.reshape(6, nslab, _ONFLY_SLAB, G), 1, 0)
+    vv = jnp.moveaxis(vals.reshape(2, nslab, _ONFLY_SLAB, G), 1, 0)
+
+    def body(_, xs):
+        sc_s, vv_s = xs
+        aur, aui = _build_A_slab(sc_s[0], sc_s[1], sc_s[2], wcur, wcui, xc)
+        avr, avi = _build_A_slab(sc_s[3], sc_s[4], sc_s[5], wcvr, wcvi, xc)
+        vre, vim = vv_s[0][:, None, :], vv_s[1][:, None, :]
+        bre = avr * vre - avi * vim
+        bim = avr * vim + avi * vre
+        p_re = _ebat(aur, bre) - _ebat(aui, bim)
+        p_im = _ebat(aur, bim) + _ebat(aui, bre)
+        return None, jnp.stack([p_re, p_im])
+
+    _, out = jax.lax.scan(body, None, (sc, vv))
+    return jnp.moveaxis(out, 1, 0).reshape(2, ng, S, S)
+
+
+@jax.jit
+def _vals_onfly(plan: IDGPlan, patches):
+    """Forward (conj-transpose of :func:`_patches_onfly`), per-slab."""
+    S, G = plan.S, plan.G
+    ng = plan.ngroups
+    nslab = ng // _ONFLY_SLAB
+    xc, wcur, wcui, wcvr, wcvi = _onfly_xc_wc(plan)
+    sc = jnp.moveaxis(plan.scal.reshape(6, nslab, _ONFLY_SLAB, G), 1, 0)
+    pp = jnp.moveaxis(patches.reshape(2, nslab, _ONFLY_SLAB, S, S), 1, 0)
+
+    def body(_, xs):
+        sc_s, p_s = xs
+        aur, aui = _build_A_slab(sc_s[0], sc_s[1], sc_s[2], wcur, wcui, xc)
+        avr, avi = _build_A_slab(sc_s[3], sc_s[4], sc_s[5], wcvr, wcvi, xc)
+        p_re, p_im = p_s[0], p_s[1]
+        t_re = _ext(p_re, aur) + _ext(p_im, aui)
+        t_im = _ext(p_im, aur) - _ext(p_re, aui)
+        v_re = jnp.sum(t_re * avr + t_im * avi, axis=1)
+        v_im = jnp.sum(t_im * avr - t_re * avi, axis=1)
+        return None, jnp.stack([v_re, v_im])
+
+    _, out = jax.lax.scan(body, None, (sc, pp))
+    return jnp.moveaxis(out, 1, 0).reshape(2, ng, G)
 
 
 def _bin_classes(plan):
@@ -1593,7 +1731,7 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
     cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
     corr = _cplx(plan.corr_re, plan.corr_im)
     y = image.astype(rdt).astype(cdt) * jnp.conj(corr)
-    if plan.nbins <= _UNROLL_BINS:
+    if plan.nbins <= _UNROLL_BINS_FWD:
         patches = None
         for b in range(plan.nbins):
             gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
@@ -1638,15 +1776,17 @@ def _idg_patches_to_vals(plan: IDGPlan, patches):
     Exact conj-transpose of ``_idg_patches_uv``'s four real einsums:
     t = conj(A~u)^T P, V = sum_k t conj(A~v) (the folded DFT's transpose
     is the conj(A~) contraction — no per-patch iFFT)."""
-    if plan.fused:
-        from . import idg_fused
-
+    if plan.fused or plan.onfly:
         ng = patches.shape[1]
         if ng < plan.ngroups:  # bins cover fewer groups than the padded plan
             patches = jnp.concatenate(
                 [patches, jnp.zeros((2, plan.ngroups - ng, plan.S, plan.S), patches.dtype)],
                 axis=1,
             )
+        if plan.onfly:
+            return _vals_onfly(plan, patches)
+        from . import idg_fused
+
         # kernel wants x-major rows: (2, ng, S, S) -> (2, S, ng*S)
         pt = jnp.transpose(patches, (0, 2, 1, 3)).reshape(2, plan.S, plan.ngroups * plan.S)
         return idg_fused.vals_from_patches(

@@ -368,6 +368,24 @@ def test_idg_w_mode_auto_routing(rng):
     assert plan2.w_support == 1
 
 
+def test_idg_onfly_matches_einsum(rng):
+    """eval_backend="onfly" (per-slab A rebuild, no materialised phase
+    matrices — the wplanes tight-eps memory fix) matches the einsum
+    backend to rounding in both directions."""
+    uvw, freq, vis, kw = _wide_w_problem(rng, nrow=1500)
+    mk = dict(epsilon=1e-6, do_wgridding=True, divide_by_n=True, w_mode="wplanes")
+    p_e = plan_idg(uvw, freq, eval_backend="einsum", **mk, **kw)
+    p_o = plan_idg(uvw, freq, eval_backend="onfly", **mk, **kw)
+    assert p_o.onfly and not p_e.onfly
+    d_e = np.asarray(vis2dirty_idg(p_e, jnp.asarray(vis)))
+    d_o = np.asarray(vis2dirty_idg(p_o, jnp.asarray(vis)))
+    np.testing.assert_allclose(d_o, d_e, rtol=0, atol=1e-12 * np.abs(d_e).max())
+    img = rng.standard_normal((kw["nx"], kw["ny"]))
+    v_e = np.asarray(dirty2vis_idg(p_e, jnp.asarray(img)))
+    v_o = np.asarray(dirty2vis_idg(p_o, jnp.asarray(img)))
+    np.testing.assert_allclose(v_o, v_e, rtol=0, atol=1e-12 * np.abs(v_e).max())
+
+
 def test_idg_slot_budget_dense_ok(rng):
     """Dense narrow-field layouts stay within the budget (IDG retained)."""
     uvw, freq, vis, kw = _problem(rng, nrow=4000)
