@@ -31,7 +31,7 @@ import time
 
 BASELINE_VIS_PER_SEC = 5e7
 HEADLINE_DEADLINE = 720.0  # seconds before we fall back past the gridder
-TOTAL_BUDGET = 1680.0  # seconds before the child is killed outright
+TOTAL_BUDGET = 2400.0  # seconds before the child is killed outright
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 RESULTS_PATH = os.path.join(HERE, ".bench_results.json")
@@ -76,7 +76,9 @@ def main():
         pass
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + ":" + env.get("PYTHONPATH", "")
-    stages = env.get("BENCH_STAGES", "grid,grid4k,shard1,degrid,hess,hess8k,psi,major")
+    stages = env.get(
+        "BENCH_STAGES", "grid,grid7,gridver,grid4k,shard1,degrid,hess,hess8k,psi,major,widefield"
+    )
     child = subprocess.Popen(
         [sys.executable, os.path.join(HERE, "scripts", "bench_child.py"), RESULTS_PATH, stages],
         env=env,
@@ -128,7 +130,21 @@ def main():
             json.dump(results, f, indent=1)
     except OSError:
         pass
-    for key in ("gridder", "gridder_grouped", "gridder_4k", "sharded_idg_1dev", "degrid", "hessian", "hessian8k", "psi"):
+    for key in (
+        "gridder",
+        "gridder_grouped",
+        "gridder_default",
+        "gridder_verify",
+        "gridder_4k",
+        "sharded_idg_1dev",
+        "degrid",
+        "hessian",
+        "hessian8k",
+        "psi",
+        "major_cycle",
+        "widefield",
+        "major8k16",
+    ):
         if key in results:
             print(f"{key}: {json.dumps(results[key])}", file=sys.stderr, flush=True)
 

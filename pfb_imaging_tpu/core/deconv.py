@@ -53,6 +53,7 @@ def deconv(
     hess_norm: float | None = None,
     opts_extra: dict | None = None,
     use_mesh: bool = True,
+    row_shard_above: int = 8192,
 ):
     """Run the major cycle in place on the tree. Returns (model, residual)."""
     import jax.numpy as jnp
@@ -117,18 +118,43 @@ def deconv(
         else:
             beams.append(None)
 
+    hess_mesh = None
+    transposed = False
     if use_mesh:
         import jax as _jax
+        from jax.sharding import PartitionSpec as _P
 
+        from ..parallel.fft import psfhat_transposed
         from ..parallel.mesh import make_mesh, stream_band_stack
 
         ndev = len(_jax.devices())
         band_size = ndev
         while nband % band_size:
             band_size -= 1
-        mesh = make_mesh(band=band_size, row=1)
-        ph0 = abspsfhat[0]()
-        abspsfhat = stream_band_stack(mesh, abspsfhat, ph0.shape, ph0.dtype)
+        # devices the band axis cannot absorb shard the IMAGE rows when the
+        # padded FFT grid is large enough to matter (SURVEY §5.7 8k axis)
+        row_size = 1
+        if nx_psf >= row_shard_above and band_size < ndev:
+            row_size = ndev // band_size
+            while row_size > 1 and nx_psf % row_size:
+                row_size -= 1
+        mesh = make_mesh(band=band_size, row=row_size)
+        if row_size > 1 and all(bm is None for bm in beams):
+            # stream each band's |PSFHAT| straight into the transposed
+            # padded row-sharded layout the distributed FFT consumes
+            hess_mesh = mesh
+            transposed = True
+            loaders_t = [
+                (lambda ld=ld: psfhat_transposed(ld(), row_size)) for ld in abspsfhat
+            ]
+            ph0 = loaders_t[0]()
+            abspsfhat = stream_band_stack(
+                mesh, loaders_t, ph0.shape, ph0.dtype, spec=_P("band", None, "row", None)
+            )
+            log.info("row-sharded PSF Hessian: %d-way image rows x %d-way bands", row_size, band_size)
+        else:
+            ph0 = abspsfhat[0]()
+            abspsfhat = stream_band_stack(mesh, abspsfhat, ph0.shape, ph0.dtype)
     else:
         mesh = None
         abspsfhat = np.stack([ld() for ld in abspsfhat])  # (nband, npart, nxp, nyo2)
@@ -163,7 +189,10 @@ def deconv(
         opts.update(opts_extra)
 
     geometry = dict(nx=nx, ny=ny, nx_psf=nx_psf, ny_psf=ny_psf)
-    solver = PRESETS[preset](abspsfhat, wsums, geometry, model, update, opts, beam_per_band=beam_per_band)
+    solver = PRESETS[preset](
+        abspsfhat, wsums, geometry, model, update, opts,
+        beam_per_band=beam_per_band, mesh=hess_mesh, transposed=transposed,
+    )
     dt.set_attrs(hess_norm=solver.hess_norm)
 
     # warm-start the PD dual from the checkpoint when present — the

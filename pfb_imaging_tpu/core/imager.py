@@ -89,6 +89,7 @@ def imager(
     do_noise: bool = True,
     noise_seed: int = 7,
     ntime: int = 1,
+    use_mesh: bool | None = None,
 ):
     """Grid a Stokes vis store into a .dt image tree. Returns the TreeStore."""
     xds = TreeStore(xds_path)
@@ -221,6 +222,22 @@ def imager(
     if use_idg:
         from ..ops.gridder_idg import dirty2vis_idg, plan_idg, vis2dirty_idg
 
+    # ── mesh fan-out of the gridding itself (round 3, VERDICT #3) ─────
+    # Rows of every (band, partition) shard over the device mesh and the
+    # partial images psum — the reference fans Ray tasks over output
+    # images (core/imager.py:528-583); here ONE SPMD program grids each
+    # product with the row axis on ICI. Host planning stays threaded.
+    ndev = len(jax.devices())
+    if use_mesh is None:
+        use_mesh = use_idg and ndev > 1 and model_eval is None
+    mesh_grid = None
+    if use_mesh and use_idg and model_eval is None:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import plan_idg_sharded, sharded_vis2dirty_idg
+
+        mesh_grid = make_mesh(band=1, row=ndev)
+        log.info("gridding fan-out: %d-way row mesh", ndev)
+
     def _prepare_task(b, ip, key):
         """Read + weight + plan one (band, partition) — thread-safe host work."""
         chans = bands[b]
@@ -248,9 +265,15 @@ def imager(
             divide_by_n=False,
             dtype=dtype,
         )
-        planner = plan_idg if use_idg else plan_wgridder
-        plan_im = planner(uvw, f, nx=nx_im, ny=ny_im, **kw)
-        plan_psf = planner(uvw, f, nx=nx_psf, ny=ny_psf, **kw)
+        if mesh_grid is not None:
+            pad = (-uvw.shape[0]) % ndev
+            uvw_p = np.concatenate([uvw, np.zeros((pad, 3))]) if pad else uvw
+            plan_im = plan_idg_sharded(uvw_p, f, ndev, nx=nx_im, ny=ny_im, **kw) + (pad,)
+            plan_psf = plan_idg_sharded(uvw_p, f, ndev, nx=nx_psf, ny=ny_psf, **kw) + (pad,)
+        else:
+            planner = plan_idg if use_idg else plan_wgridder
+            plan_im = planner(uvw, f, nx=nx_im, ny=ny_im, **kw)
+            plan_psf = planner(uvw, f, nx=nx_psf, ny=ny_psf, **kw)
         beam_p = None
         if g.has("BEAM_SMALL"):
             # small-grid beam -> image grid (reference eval_beam,
@@ -284,6 +307,25 @@ def imager(
 
     d2v = dirty2vis_idg if use_idg else None
     v2d = vis2dirty_idg if use_idg else vis2dirty
+    gdt = np.float64 if double_precision else np.float32
+
+    def grid_image(plan_t, visc, wgt_, mask_):
+        """One weighted grid: serial device stream, or SPMD over the mesh."""
+        if mesh_grid is None:
+            return np.asarray(v2d(plan_t, jnp.asarray(visc), wgt=jnp.asarray(wgt_), mask=jnp.asarray(mask_)))
+        stacked, rows, pad = plan_t
+        wm = np.ascontiguousarray((wgt_ * mask_).astype(gdt))
+
+        def shard(a):
+            a = np.ascontiguousarray(a.astype(gdt))
+            if pad:
+                a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+            return jnp.asarray(a.reshape(ndev, rows, a.shape[-1]))
+
+        out_img = sharded_vis2dirty_idg(
+            mesh_grid, stacked, shard(visc.real), shard(visc.imag), shard(wm)
+        )
+        return np.asarray(out_img)
 
     freq_out = []
     for b in range(nband):
@@ -316,9 +358,9 @@ def imager(
             if l2_reweight_dof:
                 wgt = np.asarray(l2_reweight(jnp.asarray(vis), jnp.asarray(wgt), jnp.asarray(mask), l2_reweight_dof))
 
-        dirty_p = np.asarray(v2d(plan_im, jnp.asarray(vis), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+        dirty_p = grid_image(plan_im, vis, wgt, mask)
         pv = _psf_vis(uvw, f, l0, m0)
-        psf_p = np.asarray(v2d(plan_psf, jnp.asarray(pv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+        psf_p = grid_image(plan_psf, pv, wgt, mask)
         wsum_p = float(wgt[mask.astype(bool)].sum())
 
         tb = int(tbin_of[ip])
@@ -343,7 +385,7 @@ def imager(
             nv = nrng.standard_normal(vis.shape) + 1j * nrng.standard_normal(vis.shape)
             safe_w = np.where(wgt > 0, wgt, 1.0)
             nv = np.where(wgt > 0, nv / np.sqrt(safe_w), 0.0)
-            noise_acc[b, tb] += np.asarray(v2d(plan_im, jnp.asarray(nv), wgt=jnp.asarray(wgt), mask=jnp.asarray(mask)))
+            noise_acc[b, tb] += grid_image(plan_im, nv, wgt, mask)
 
         dirty_acc[b, tb] += dirty_p
         psf_acc[b, tb] += psf_p

@@ -58,8 +58,11 @@ def _opts_with_defaults(opts):
     return merged
 
 
-def _build_hess(abspsfhat_per_band, wsums, geometry, opts, beam_per_band=None):
-    """HessianCube with the legacy total-wsum normalisation (D4)."""
+def _build_hess(abspsfhat_per_band, wsums, geometry, opts, beam_per_band=None, mesh=None, transposed=False):
+    """HessianCube with the legacy total-wsum normalisation (D4).
+
+    ``mesh`` with a >1 'row' axis activates the row-sharded distributed-FFT
+    matvec for 8k-class images (ops/hessian._hess_cube_dot_rowsharded)."""
     return HessianCube.build(
         abspsfhat_per_band,
         np.asarray(wsums, dtype=float),
@@ -67,6 +70,8 @@ def _build_hess(abspsfhat_per_band, wsums, geometry, opts, beam_per_band=None):
         geometry["nx_psf"],
         geometry["ny_psf"],
         beam=beam_per_band,
+        mesh=mesh,
+        transposed=transposed,
     )
 
 
@@ -105,7 +110,7 @@ def _common_kwargs(model, update, opts):
     )
 
 
-def make_sara(abspsfhat_per_band, wsums, geometry, model, update, opts=None, beam_per_band=None):
+def make_sara(abspsfhat_per_band, wsums, geometry, model, update, opts=None, beam_per_band=None, mesh=None, transposed=False):
     """SARA: l21 over the wavelet dictionary, PD or FB backward.
 
     Args:
@@ -122,17 +127,17 @@ def make_sara(abspsfhat_per_band, wsums, geometry, model, update, opts=None, bea
     # nu = ||Psi Psi^T|| = nbasis (D3) — the tight-frame default 1.0 makes
     # the PD dual step ~nbasis x too large and multi-band runs diverge
     reg = L21(psi, bases, nu=len(bases), rmsfactor=opts["rmsfactor"], alpha=opts["alpha"])
-    hess = _build_hess(abspsfhat_per_band, wsums, geometry, opts, beam_per_band)
+    hess = _build_hess(abspsfhat_per_band, wsums, geometry, opts, beam_per_band, mesh, transposed)
     fwd = PCG(tol=opts["cg_tol"], maxit=opts["cg_maxit"], minit=opts["cg_minit"], verbosity=opts["cg_verbose"])
     return PFBSolver(hess, fwd, _build_backward(opts), reg, **_common_kwargs(model, update, opts))
 
 
-def make_ista(abspsfhat_per_band, wsums, geometry, model, update, opts=None, beam_per_band=None):
+def make_ista(abspsfhat_per_band, wsums, geometry, model, update, opts=None, beam_per_band=None, mesh=None, transposed=False):
     """ISTA: image-domain l1, forward-backward without acceleration."""
     opts = _opts_with_defaults(opts)
     nband = model.shape[0]
     reg = L1(IdentityPsi(nband, geometry["nx"], geometry["ny"]))
-    hess = _build_hess(abspsfhat_per_band, wsums, geometry, opts, beam_per_band)
+    hess = _build_hess(abspsfhat_per_band, wsums, geometry, opts, beam_per_band, mesh, transposed)
     fwd = PCG(tol=opts["cg_tol"], maxit=opts["cg_maxit"], minit=opts["cg_minit"], verbosity=opts["cg_verbose"])
     bwd = ForwardBackward(
         tol=opts["fb_tol"],

@@ -1269,15 +1269,38 @@ def _sel_quarter(S, half, a, b, dtype):
 _MM = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
+def _split3_bf16(v):
+    """Exact v = b1 + b2 + b3 with every piece bf16-representable.
+
+    Two Veltkamp splits in PURE f32 arithmetic (8+8+8 significand bits):
+    each piece has <= 8 significant bits, so its f32 -> bf16 conversion is
+    EXACT — immune to the runtime's terminal-pinned
+    --xla_allow_excess_precision=true, under which a plain
+    ``x.astype(bf16)`` may never round and the naive split residual
+    (x - bf16(x)) silently collapses to zero (measured 3.1e-3 of assembly
+    error on-chip, caught by the round-3 gridder_verify stage). Unlike an
+    optimization_barrier fix this stays fusion-friendly (the barrier cost
+    ~70 ms of extra HBM traffic per eval at S=24)."""
+    # Veltkamp factor 2^s+1 splits s bits below the TOP of the f32
+    # significand (p=24): s=16 keeps 8 bits in the high part — both
+    # levels use it (lo has ~16 significant bits, so its top-8 split
+    # needs the same s=16 relative to ITS leading bit)
+    c = jnp.float32(65537.0)  # 2^16 + 1
+    t = v * c
+    hi = t - (t - v)
+    lo = v - hi  # exact; <= 16 significant bits
+    t2 = lo * c
+    mid = t2 - (t2 - lo)
+    rest = lo - mid  # exact; <= 8 significant bits
+    return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), rest.astype(jnp.bfloat16)
+
+
 def _mm_onehot(values, sel_bf16):
     """values @ sel for 0/1 selection matrices: exact f32 in three bf16
-    passes (hi + lo + lolo against exact-in-bf16 weights) — 2x cheaper
-    than a HIGHEST (6-pass) matmul on the MXU for the same result."""
+    passes (the Veltkamp 8+8+8 split against exact-in-bf16 weights) — 2x
+    cheaper than a HIGHEST (6-pass) matmul on the MXU for the same result."""
     d = partial(jnp.matmul, preferred_element_type=jnp.float32)
-    vh = values.astype(jnp.bfloat16)
-    r1 = values - vh.astype(jnp.float32)
-    vl = r1.astype(jnp.bfloat16)
-    vll = (r1 - vl.astype(jnp.float32)).astype(jnp.bfloat16)
+    vh, vl, vll = _split3_bf16(values)
     return d(vh, sel_bf16) + (d(vl, sel_bf16) + d(vll, sel_bf16))
 
 

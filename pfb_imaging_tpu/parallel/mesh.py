@@ -35,7 +35,7 @@ def shard_cube(mesh: Mesh, cube):
     return jax.device_put(cube, band_sharding(mesh))
 
 
-def stream_band_stack(mesh: Mesh, loaders, shape_tail: tuple, dtype) -> jax.Array:
+def stream_band_stack(mesh: Mesh, loaders, shape_tail: tuple, dtype, spec: P | None = None) -> jax.Array:
     """Assemble a band-sharded (nband, *tail) array WITHOUT the full host
     stack: each band's loader runs, its slice goes straight to its shard's
     device, and the host copy is dropped before the next load.
@@ -50,7 +50,7 @@ def stream_band_stack(mesh: Mesh, loaders, shape_tail: tuple, dtype) -> jax.Arra
         shape_tail: per-band shape.
     """
     nband = len(loaders)
-    sharding = band_sharding(mesh)
+    sharding = band_sharding(mesh) if spec is None else NamedSharding(mesh, spec)
     shape = (nband,) + tuple(shape_tail)
     # device_put each band slice onto the device(s) its row of the
     # sharding owns, then assemble the global array from the singles
@@ -69,7 +69,7 @@ def stream_band_stack(mesh: Mesh, loaders, shape_tail: tuple, dtype) -> jax.Arra
     for dev, sl in per_dev.items():
         b0 = sl[0].start or 0
         b1 = sl[0].stop if sl[0].stop is not None else nband
-        block = np.stack([band_slice(b) for b in range(b0, b1)])
+        block = np.stack([band_slice(b)[sl[1:]] for b in range(b0, b1)])
         singles.append(jax.device_put(block, dev))
         cache.clear()
     return jax.make_array_from_single_device_arrays(shape, sharding, singles)

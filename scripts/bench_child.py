@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -73,6 +75,10 @@ def main():
 
     if "grid" in STAGES:
         stage_grid(rng)
+    if "grid7" in STAGES:
+        stage_grid7(rng)
+    if "gridver" in STAGES:
+        stage_gridver(rng)
     if "grid4k" in STAGES:
         stage_grid4k(rng)
     if "shard1" in STAGES:
@@ -87,6 +93,10 @@ def main():
         stage_psi(rng)
     if "major" in STAGES:
         stage_major(rng)
+    if "widefield" in STAGES:
+        stage_widefield(rng)
+    if "major8k16" in STAGES:
+        stage_major8k16(rng)
 
 
 def _coords(rng, nrow, nchan):
@@ -136,12 +146,13 @@ def stage_grid(rng):
         "gridder",
         {
             "name": "wgridder_vis2dirty",
-            "kernel": kernel,
+            "kernel": ("idg_fused" if getattr(plan, "fused", False) else kernel),
             "vis_per_sec": nrow * nchan / dt,
             "ms_per_call": dt * 1e3,
             "nx": nx,
             "nvis": nrow * nchan,
             "nw": int(nbins),
+            "epsilon": 1e-5,
         },
     )
 
@@ -160,6 +171,83 @@ def stage_grid(rng):
             )
         except Exception as e:  # pragma: no cover
             print("grouped path failed:", repr(e)[:300], file=sys.stderr, flush=True)
+
+
+def stage_grid7(rng):
+    """DEFAULT-flag accuracy (epsilon=1e-7 — the reference's and this
+    repo's stock --epsilon, reference core/grid.py:50): round-2's router
+    fell back to the ~0.86 Mvis/s classic path here; round 3 serves it
+    with the S=24 subgrid (VERDICT round-2 #1)."""
+    from pfb_imaging_tpu.ops.gridder_idg import _idg_prepare, dirty2vis_idg, plan_idg, vis2dirty_idg, vis2dirty_idg_grouped
+
+    nrow, nchan, nx = 1_000_000, 4, 1024
+    uvw, freq = _coords(rng, nrow, nchan)
+    plan = plan_idg(uvw, freq, epsilon=1e-7, do_wgridding=True, divide_by_n=False, dtype=np.float32, **_geom(nx))
+    vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+    vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+    sc = jax.jit(lambda a, s: a * s[0])
+    call = lambda i: vis2dirty_idg(plan, sc(vr, scal(1.0 + 1e-6 * i)), vis_im=vi)  # noqa: E731
+    np.asarray(cks(call(0)))
+    dt = timed_chain(call)
+    rec = {
+        "name": "vis2dirty_default_epsilon",
+        "epsilon": 1e-7,
+        "subgrid": int(plan.S),
+        "vis_per_sec": nrow * nchan / dt,
+        "ms_per_call": dt * 1e3,
+        "nx": nx,
+        "nbins": int(plan.nbins),
+    }
+    vals0 = _idg_prepare(plan, vr, vi, None, None)
+    gcall = lambda i: vis2dirty_idg_grouped(plan, sc(vals0, scal(1.0 + 1e-6 * i)))  # noqa: E731
+    np.asarray(cks(gcall(0)))
+    dtg = timed_chain(gcall)
+    rec["grouped_vis_per_sec"] = nrow * nchan / dtg
+    img = jnp.asarray(rng.standard_normal((nx, nx)).astype(np.float32))
+    dcall = lambda i: dirty2vis_idg(plan, sc(img, scal(1.0 + 1e-6 * i)), split=True)  # noqa: E731
+    np.asarray(cks(dcall(0)))
+    dtd = timed_chain(dcall)
+    rec["degrid_vis_per_sec"] = nrow * nchan / dtd
+    emit("gridder_default", rec)
+
+
+def stage_gridver(rng):
+    """Numerical verification ON THE CHIP (VERDICT round-2 weak #4): the
+    TPU fused-kernel result for a seeded problem must EQUAL the CPU einsum
+    f64 oracle's, not merely be finite."""
+    from pfb_imaging_tpu.ops.gridder_idg import plan_idg, vis2dirty_idg
+
+    nrow, nchan, nx = 50_000, 2, 256
+    uvw, freq = _coords(rng, nrow, nchan)
+    vis = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    kw = dict(epsilon=1e-5, do_wgridding=True, divide_by_n=False, **_geom(nx))
+    plan_t = plan_idg(uvw, freq, dtype=np.float32, **kw)
+    d_tpu = np.asarray(
+        vis2dirty_idg(plan_t, jnp.asarray(vis.real.astype(np.float32)), vis_im=jnp.asarray(vis.imag.astype(np.float32)))
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        plan_c = plan_idg(uvw, freq, dtype=np.float64, eval_backend="einsum", **kw)
+        d_cpu = np.asarray(vis2dirty_idg(plan_c, jax.device_put(jnp.asarray(vis), cpu)))
+    err = np.abs(d_tpu - d_cpu) / np.abs(d_cpu).max()
+    q = nx // 4
+    rel, rel_in = float(err.max()), float(err[q:-q, q:-q].max())
+    # envelope: fused split3 kernel noise ~5e-6 interior; the 1/T taper
+    # correction amplifies it ~14x toward the image edge (docs/perf.md).
+    # This stage caught the round-3 --xla_allow_excess_precision split
+    # collapse (1.4e-2); 'ok' means numerically equal within that envelope.
+    emit(
+        "gridder_verify",
+        {
+            "name": "tpu_vs_cpu_f64_oracle",
+            "rel_linf": rel,
+            "rel_linf_inner": rel_in,
+            "ok": bool(rel_in < 1e-5 and rel < 1e-4),
+            "kernel": "idg_fused" if plan_t.fused else "idg_einsum",
+            "nvis": nrow * nchan,
+            "nx": nx,
+        },
+    )
 
 
 def stage_grid4k(rng):
@@ -194,11 +282,31 @@ def stage_shard1(rng):
         uvw, freq, 1, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32, **_geom(nx)
     )
     mesh = make_mesh(band=1, row=1)
-    vr = jnp.asarray(rng.standard_normal((1, rows, nchan)).astype(np.float32))
-    vi = jnp.asarray(rng.standard_normal((1, rows, nchan)).astype(np.float32))
-    out = sharded_vis2dirty_idg(mesh, stacked, vr, vi)
+    vr_h = rng.standard_normal((1, rows, nchan)).astype(np.float32)
+    vi_h = rng.standard_normal((1, rows, nchan)).astype(np.float32)
+    out = sharded_vis2dirty_idg(mesh, stacked, jnp.asarray(vr_h), jnp.asarray(vi_h))
     s = float(np.asarray(cks(out))[0])
-    emit("sharded_idg_1dev", {"ok": bool(np.isfinite(s) and s > 0), "checksum": s, "nx": nx})
+    # numerically-equal-on-chip check (VERDICT round-2 weak #4): the CPU
+    # einsum path grids the SAME seeded problem; "ok" means equal within
+    # the f32 substrate envelope, not merely finite
+    from pfb_imaging_tpu.ops.gridder_idg import plan_idg as _plan, vis2dirty_idg as _v2d
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        plan_c = _plan(
+            uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False,
+            dtype=np.float64, eval_backend="einsum", **_geom(nx),
+        )
+        d_cpu = np.asarray(
+            _v2d(plan_c, jax.device_put(jnp.asarray(vr_h[0].astype(np.float64)), cpu),
+                 vis_im=jax.device_put(jnp.asarray(vi_h[0].astype(np.float64)), cpu))
+        )
+    rel = float(abs(s - np.abs(d_cpu).sum()) / np.abs(d_cpu).sum())
+    emit(
+        "sharded_idg_1dev",
+        {"ok": bool(rel < 3e-5), "checksum": s, "cpu_checksum": float(np.abs(d_cpu).sum()),
+         "rel_diff": rel, "nx": nx},
+    )
 
 
 def stage_degrid(rng):
@@ -364,6 +472,144 @@ def stage_major(rng):
             "pd_iters": pd_maxit,
         },
     )
+
+
+def stage_widefield(rng):
+    """Wide-field many-w layout (the round-2 scaling caveat, VERDICT #2):
+    0.03 rad field at 1024 px with |w| to ~2200 lambda. Round 2 collapsed
+    (~100x slot padding -> stack fallback ~0.9 Mvis/s); round 3 plans this
+    with the epsilon-independent w-plane kernel scheme."""
+    from pfb_imaging_tpu.ops.gridder_idg import plan_idg, vis2dirty_idg
+
+    nx = 1024
+    cell = 0.03 / nx
+    nvis, nchan = 2_000_000, 4
+    nrow = nvis // nchan
+    uvw = np.empty((nrow, 3))
+    uvw[:, 0] = rng.uniform(-8000, 8000, nrow)
+    uvw[:, 1] = rng.uniform(-8000, 8000, nrow)
+    uvw[:, 2] = rng.uniform(-2200, 2200, nrow)
+    freq = np.linspace(0.9e9, 1.1e9, nchan)
+    t0 = time.time()
+    plan = plan_idg(uvw, freq, nx=nx, ny=nx, cellx=cell, celly=cell,
+                    epsilon=1e-5, do_wgridding=True, dtype=np.float32)
+    tplan = time.time() - t0
+    vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+    vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+    sc = jax.jit(lambda a, s: a * s[0])
+    call = lambda i: vis2dirty_idg(plan, sc(vr, scal(1.0 + 1e-6 * i)), vis_im=vi)  # noqa: E731
+    np.asarray(cks(call(0)))
+    dt = timed_chain(call, nrep=2)
+    emit(
+        "widefield",
+        {
+            "name": "vis2dirty_widefield_wplanes",
+            "vis_per_sec": nvis / dt,
+            "ms_per_call": dt * 1e3,
+            "w_mode": "wplanes" if plan.w_support > 1 else "chirp",
+            "w_support": int(plan.w_support),
+            "nplanes": int(plan.nbins),
+            "plan_sec": round(tplan, 1),
+            "nx": nx,
+            "nvis": nvis,
+        },
+    )
+
+
+def stage_major8k16(rng):
+    """BASELINE.md end-to-end target: 8k x 8k image, 16 bands,
+    grid -> PCG forward -> SARA PD backward -> exact vis-space residual,
+    Briggs-weighted simulated vis (VERDICT round-2 #4).
+
+    Single chip: bands stream sequentially through one jitted per-band
+    program (the multi-chip layout shards the band axis — dryrun +
+    tests/test_parallel.py); sec/major-cycle = summed per-band walls.
+    Bands share the uvw layout (production caches plans per partition the
+    same way) but carry their own visibilities through every stage.
+    """
+    from functools import partial
+
+    from pfb_imaging_tpu.core.step import pd_step_sizes, pfb_major_step
+    from pfb_imaging_tpu.ops.gridder_idg import hessian_vis_idg, plan_idg, to_group_layout, vis2dirty_idg
+    from pfb_imaging_tpu.ops.hessian import HessianCube
+    from pfb_imaging_tpu.ops.psf import psf_to_psfhat
+    from pfb_imaging_tpu.ops.psi import Psi
+    from pfb_imaging_tpu.ops.weighting import compute_counts, counts_to_weights
+
+    nband, nx, nx_psf = 16, 8192, 16384
+    nrow, nchan = 250_000, 4  # 1M vis/band, 16M total
+    cell = 8e-6 / 8  # 8k image at MeerKAT-like resolution
+    rec = {"name": "grid_pcg_sara_8k_16band", "nx": nx, "nband": nband, "nvis_total": nband * nrow * nchan}
+    uvw, freq = _coords(rng, nrow, nchan)
+    geom = dict(nx=nx, ny=nx, cellx=cell, celly=cell)
+    t0 = time.time()
+    plan_im = plan_idg(uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32, **geom)
+    plan_psf = plan_idg(
+        uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32,
+        nx=nx_psf, ny=nx_psf, cellx=cell, celly=cell,
+    )
+    rec["plan_sec"] = round(time.time() - t0, 1)
+
+    # Briggs weights (reference counts->weights, utils/weighting.py)
+    t0 = time.time()
+    wgt0 = np.ones((1, nrow, nchan))
+    msk = np.ones((nrow, nchan))
+    counts = np.asarray(compute_counts(uvw, freq, msk, wgt0, nx_psf, nx_psf, cell, cell))
+    wgt = np.asarray(counts_to_weights(counts, uvw, freq, wgt0, msk, nx_psf, nx_psf, cell, cell, 0.0))[0]
+    rec["briggs_sec"] = round(time.time() - t0, 1)
+    wgt_j = jnp.asarray(wgt.astype(np.float32))
+
+    # per-band gridding: DIRTY + PSF (+|PSFHAT|), band-streamed
+    t0 = time.time()
+    pv = jnp.ones((nrow, nchan), jnp.float32)
+    psf = np.asarray(vis2dirty_idg(plan_psf, pv, wgt=wgt_j, vis_im=jnp.zeros_like(pv)))
+    wsum = float(wgt.sum())
+    abspsfhat = jax.jit(lambda p: jnp.abs(psf_to_psfhat(p)))(jnp.asarray(psf.astype(np.float32))[None, None])
+    dirty = []
+    for b in range(nband):
+        vr = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+        vi = jnp.asarray(rng.standard_normal((nrow, nchan)).astype(np.float32))
+        dirty.append(np.asarray(vis2dirty_idg(plan_im, vr, wgt=wgt_j, vis_im=vi)))
+    rec["grid_sec"] = round(time.time() - t0, 1)
+
+    # solver wiring (one band resident at a time; |PSFHAT| shared since the
+    # bands share weights — per-band wsum scaling kept explicit)
+    psi = Psi(1, nx, nx, bases=("self", "db1", "db2", "db3", "db4", "db5"), nlevel=3)
+    hess = HessianCube.build(abspsfhat, np.ones(1, np.float32), 1e-5, nx_psf, nx_psf)
+    sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
+    step = partial(
+        pfb_major_step,
+        psi=psi,
+        gamma=jnp.full(1, 1.0, jnp.float32),
+        sigma=jnp.full(1, sigma, jnp.float32),
+        tau=jnp.full(1, tau, jnp.float32),
+        cg_tol=0.0, cg_maxit=10, cg_minit=10,
+        pd_tol=0.0, pd_maxit=20, pos=True,
+    )
+    lam = jnp.full(1, 1e-3, jnp.float32)
+    wgt_g = to_group_layout(plan_im, wgt_j)
+    models = [np.zeros((nx, nx), np.float32) for _ in range(nband)]
+    updates = [np.zeros((nx, nx), np.float32) for _ in range(nband)]
+    dual0 = np.zeros((1, psi.nbasis, psi.nymax, psi.nxmax), np.float32)
+    cyc_secs = []
+    for cyc in range(2):
+        t0 = time.time()
+        for b in range(nband):
+            res_b = jnp.asarray(dirty[b].astype(np.float32) / wsum)[None]
+            m, u, _ = step(
+                hess, res_b, jnp.asarray(models[b])[None], jnp.asarray(updates[b])[None],
+                jnp.asarray(dual0), jnp.ones((psi.nbasis, psi.nymax, psi.nxmax), jnp.float32), lam,
+            )
+            models[b] = np.asarray(m[0])
+            updates[b] = np.asarray(u[0])
+            # exact vis-space residual round trip (degrid -> weight -> grid)
+            conv = hessian_vis_idg(plan_im, m[0], wgt_g=wgt_g)
+            dirty[b] = dirty[b] - np.asarray(conv)
+        cyc_secs.append(time.time() - t0)
+    rec["sec_per_major_cycle"] = round(cyc_secs[-1], 1)
+    rec["cycle_secs"] = [round(c, 1) for c in cyc_secs]
+    rec["cg_iters"], rec["pd_iters"] = 10, 20
+    emit("major8k16", rec)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,44 @@ def test_weight_data_with_jones():
     np.testing.assert_allclose(np.asarray(vis_i), I, atol=1e-10)
 
 
+def test_weight_data_full_jones():
+    """Full 2x2 Jones (off-diagonal leakage) corrected exactly against an
+    explicit per-row Mueller reference (round-3 VERDICT #6; reference
+    full-Jones expression set, utils/weighting.py:275-468)."""
+    from pfb_imaging_tpu.utils.stokes import brightness_map
+
+    rng = np.random.default_rng(5)
+    nrow, nchan = 8, 3
+    for feed in ("linear", "circular"):
+        for product, sidx in (("I", 0), ("Q", 1), ("U", 2), ("V", 3)):
+            S = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+            stokes = np.zeros((4, nrow, nchan), dtype=complex)
+            stokes[sidx] = S
+            clean = np.asarray(stokes_to_corr(stokes, feed, 4))
+            # full 2x2 Jones: diagonal gains + ~10% leakage
+            jp = rng.standard_normal((2, 2, nrow, nchan)) * 0.1 + 1j * rng.standard_normal((2, 2, nrow, nchan)) * 0.1
+            jq = rng.standard_normal((2, 2, nrow, nchan)) * 0.1 + 1j * rng.standard_normal((2, 2, nrow, nchan)) * 0.1
+            jp[0, 0] += 1.0
+            jp[1, 1] += 1.0
+            jq[0, 0] += 1.0
+            jq[1, 1] += 1.0
+            # corrupt via the explicit per-row RIME: V = Jp B Jq^H
+            B = clean.reshape(2, 2, nrow, nchan)
+            vis = np.einsum("ijrc,jlrc,klrc->ikrc", jp, B, np.conj(jq)).reshape(4, nrow, nchan)
+            wgt = np.ones((4, nrow, nchan))
+            got, wgt_s = weight_data(vis, wgt, jones_p=jp, jones_q=jq, product=product, feed_type=feed)
+            np.testing.assert_allclose(np.asarray(got), S, atol=1e-10, err_msg=(feed, product))
+            assert np.asarray(wgt_s).min() > 0
+            # explicit Mueller cross-check of the response the WLS solves:
+            # a_c = M @ T[:, s] with M = Jp (x) conj(Jq)
+            M = np.einsum("ijrc,klrc->ikjlrc", jp, np.conj(jq)).reshape(4, 4, nrow, nchan)
+            T = np.asarray(brightness_map(feed, 4))[:, sidx]
+            a_ref = np.einsum("cd...,d->c...", M, T)
+            num = (np.conj(a_ref) * vis).sum(0)
+            den = (np.abs(a_ref) ** 2).sum(0)
+            np.testing.assert_allclose(np.asarray(got), num / den, atol=1e-10)
+
+
 def test_modelspec_roundtrip(tmp_path):
     """Fitting with a full basis reproduces the cube exactly at the sample
     points (reference test_model2comps round trip)."""
