@@ -1299,8 +1299,14 @@ def _mm_onehot(values, sel_bf16):
     """values @ sel for 0/1 selection matrices: exact f32 in three bf16
     passes (the Veltkamp 8+8+8 split against exact-in-bf16 weights) — 2x
     cheaper than a HIGHEST (6-pass) matmul on the MXU for the same result."""
+    return _mm_onehot_pre(_split3_bf16(values), sel_bf16)
+
+
+def _mm_onehot_pre(split, sel_bf16):
+    """:func:`_mm_onehot` with the operand pre-split — callers applying
+    several selection matrices to ONE array split it once."""
     d = partial(jnp.matmul, preferred_element_type=jnp.float32)
-    vh, vl, vll = _split3_bf16(values)
+    vh, vl, vll = split
     return d(vh, sel_bf16) + (d(vl, sel_bf16) + d(vll, sel_bf16))
 
 
@@ -1364,11 +1370,12 @@ def _assemble_bin_compact(plan, p_b, bid_b):
     planes = []
     for c in range(2):
         flat = p_b[c].reshape(gc, S * S)
+        split = _split3_bf16(flat) if (flat.dtype == jnp.float32 and on_tpu) else None
         L = jnp.zeros((R_u * R_v, half * half), flat.dtype)
         for a in range(r):
             for b in range(r):
                 sel = _sel_quarter(S, half, a, b, jnp.bfloat16)
-                q = (_mm_onehot(flat, sel) if flat.dtype == jnp.float32 and on_tpu
+                q = (_mm_onehot_pre(split, sel) if split is not None
                      else _MM(flat, sel.astype(flat.dtype)))
                 L = L.at[(bu + a) * R_v + (bv + b)].add(q)
         planes.append(_fold_extended(plan, _unblock_ext(plan, L, on_tpu)))
@@ -1443,11 +1450,12 @@ def _assemble_bin(plan, p_b, bid_b):
         flat = p_b[c].reshape(gc, S * S)
         orig = jnp.zeros((nbu * nbv, S * S), flat.dtype).at[bid_b].add(flat)
         if on_tpu:
+            split = _split3_bf16(orig) if flat.dtype == jnp.float32 else None
             L = jnp.zeros((R_u, R_v, half * half), flat.dtype)
             for a in range(r):
                 for b in range(r):
                     sel = _sel_quarter(S, half, a, b, jnp.bfloat16)
-                    q = (_mm_onehot(orig, sel) if flat.dtype == jnp.float32
+                    q = (_mm_onehot_pre(split, sel) if split is not None
                          else _MM(orig, sel.astype(flat.dtype))).reshape(nbu, nbv, half * half)
                     L = L.at[a : a + nbu, b : b + nbv, :].add(q)
             # unblock: ext[t*half + su, :] = L[t, :, su*half : (su+1)*half]

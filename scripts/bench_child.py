@@ -536,10 +536,16 @@ def stage_major8k16(rng):
     from pfb_imaging_tpu.ops.psi import Psi
     from pfb_imaging_tpu.ops.weighting import compute_counts, counts_to_weights
 
-    nband, nx, nx_psf = 16, 8192, 16384
-    nrow, nchan = 250_000, 4  # 1M vis/band, 16M total
+    nband, nx = 16, 8192
+    # psf_oversize 1.25: the 2x-oversized 16k PSF grid's IDG assembly
+    # lattice alone is ~26 GB — beyond one chip's HBM (the row-sharded
+    # Hessian/FFT is the multi-chip answer for that axis, SURVEY §5.7);
+    # 1.25 keeps the single-chip composed run honest and within memory
+    nx_psf = 10240
+    nrow, nchan = 1_000_000, 4  # 4M vis/band, 64M total
     cell = 8e-6 / 8  # 8k image at MeerKAT-like resolution
-    rec = {"name": "grid_pcg_sara_8k_16band", "nx": nx, "nband": nband, "nvis_total": nband * nrow * nchan}
+    rec = {"name": "grid_pcg_sara_8k_16band", "nx": nx, "nx_psf": nx_psf,
+           "nband": nband, "nvis_total": nband * nrow * nchan}
     uvw, freq = _coords(rng, nrow, nchan)
     geom = dict(nx=nx, ny=nx, cellx=cell, celly=cell)
     t0 = time.time()
@@ -572,9 +578,14 @@ def stage_major8k16(rng):
         dirty.append(np.asarray(vis2dirty_idg(plan_im, vr, wgt=wgt_j, vis_im=vi)))
     rec["grid_sec"] = round(time.time() - t0, 1)
 
+    del plan_psf, psf, pv  # the 10240^2 PSF plan is gridding-only
+
     # solver wiring (one band resident at a time; |PSFHAT| shared since the
     # bands share weights — per-band wsum scaling kept explicit)
-    psi = Psi(1, nx, nx, bases=("self", "db1", "db2", "db3", "db4", "db5"), nlevel=3)
+    # deconv's default SARA dictionary (self,db1,db2 @ 2 levels): the
+    # 6-basis/3-level dual alone is 1.6 GB/band at 8k and the PD loop
+    # carries several copies — 3 bases keep the single-chip run in HBM
+    psi = Psi(1, nx, nx, bases=("self", "db1", "db2"), nlevel=2)
     hess = HessianCube.build(abspsfhat, np.ones(1, np.float32), 1e-5, nx_psf, nx_psf)
     sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
     step = partial(

@@ -189,3 +189,41 @@ def test_msv4_init_parity(tmp_path):
         for prod in ("VIS", "WEIGHT", "MASK", "UVW", "FREQ"):
             x, y = np.asarray(a.read(prod)), np.asarray(b.read(prod))
             np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-5, err_msg=prod)
+
+
+def test_msv4_degrid_writeback(tmp_path):
+    """Round trip through the REAL MSv4 store: ingest -> component model ->
+    degrid -> re-read MODEL_DATA from the zarr processing set (round-3
+    VERDICT #7; reference xds_to_table MODEL_DATA writes,
+    core/degrid.py:333-337). The MSv4 write must match the TreeStore-target
+    degrid bit-for-bit (same render, different writer) up to the c64 cast."""
+    from pfb_imaging_tpu.core.degrid import degrid
+    from pfb_imaging_tpu.core.simulate import simulate_vis_store
+    from pfb_imaging_tpu.utils.modelspec import fit_image_cube, save_mds
+    from pfb_imaging_tpu.utils.store import TreeStore
+
+    ms_path = str(tmp_path / "ms")
+    _, truth = simulate_vis_store(ms_path, nant=5, ntime=2, nchan=3, nx=16)
+    zpath = str(tmp_path / "msv4.zarr")
+    _treestore_to_msv4(ms_path, zpath)
+
+    # tiny smooth component model over the band
+    rng = np.random.default_rng(3)
+    freqs = np.asarray(TreeStore(ms_path).attrs["freq"])
+    nx = truth["nx"]
+    cube = np.zeros((1, freqs.size, nx, nx))
+    cube[:, :, nx // 2, nx // 2] = 1.0 + 0.1 * rng.standard_normal(freqs.size)
+    coeffs, ix, iy, mattrs = fit_image_cube(np.zeros(1), freqs, cube)
+    mds = str(tmp_path / "m.mds")
+    save_mds(TreeStore(mds, mode="w"), coeffs, ix, iy, mattrs)
+
+    degrid(mds, ms_path, truth["cell_rad"], to_corr=True)  # TreeStore target
+    degrid(mds, zpath, truth["cell_rad"])  # MSv4 target (corr layout forced)
+
+    ts = TreeStore(ms_path)
+    z = zarrio.open_zarr(zpath)
+    for gi, key in enumerate(ts.groups()):
+        ref = np.asarray(ts.group(key).read("MODEL_DATA"))  # (ncorr, row, chan)
+        md = z.group(f"msv4_{gi:04d}").array("MODEL_DATA").read()
+        got = np.moveaxis(md.reshape(-1, md.shape[2], md.shape[3]), -1, 0)
+        np.testing.assert_allclose(got, ref.astype(np.complex64), rtol=1e-6, atol=1e-6 * np.abs(ref).max())

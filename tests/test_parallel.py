@@ -228,3 +228,74 @@ def test_hessian_cube_row_sharded_parity(rng):
     h1 = HessianCube.build(ph, wsums, 1e-3, nxp, nxp, mesh=mesh)
     out = np.asarray(jax.jit(hess_cube_dot)(h1, x))
     np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max())
+
+
+def test_multiband_plan_stacking(rng):
+    """Stacked per-band plans over a shared partition uvw grid all bands in
+    one vmapped dispatch == per-band serial gridding (VERDICT round-2 #8 /
+    perf.md round-3 item 4)."""
+    import jax.numpy as jnp
+    from pfb_imaging_tpu.ops.gridder_idg import plan_idg, vis2dirty_idg
+    from pfb_imaging_tpu.parallel.sharded import multiband_vis2dirty_idg, plan_idg_multiband
+
+    nrow, nchan, nx = 1200, 6, 64
+    cell = 8e-6 * 1024 / nx
+    uvw = rng.uniform(-16000, 16000, (nrow, 3))
+    uvw[:, 2] *= 0.2
+    freq = np.linspace(1e9, 1.2e9, nchan)
+    vis = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
+    wgt = rng.uniform(0.5, 2.0, (nrow, nchan))
+    kw = dict(nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-5, do_wgridding=True, divide_by_n=False)
+    slices = [np.arange(0, 4), np.arange(4, 6)]  # unequal widths
+
+    stacked, nch_max = plan_idg_multiband(uvw, freq, slices, **kw)
+    vr = np.zeros((2, nrow, nch_max), np.float64)
+    vi = np.zeros((2, nrow, nch_max), np.float64)
+    wg = np.zeros((2, nrow, nch_max), np.float64)
+    for b, sl in enumerate(slices):
+        vr[b, :, : sl.size] = vis.real[:, sl]
+        vi[b, :, : sl.size] = vis.imag[:, sl]
+        wg[b, :, : sl.size] = wgt[:, sl]
+    out = np.asarray(multiband_vis2dirty_idg(stacked, jnp.asarray(vr), jnp.asarray(vi), jnp.asarray(wg)))
+
+    import jax
+
+    for b, sl in enumerate(slices):
+        # exact parity against the SAME band plan sliced out of the stack
+        # (vmapped dispatch == per-plan dispatch to rounding)
+        plan_b = jax.tree_util.tree_map(lambda a: a[b], stacked)
+        ref = np.asarray(
+            vis2dirty_idg(plan_b, jnp.asarray(vr[b] + 1j * vi[b]), wgt=jnp.asarray(wg[b]))
+        )
+        np.testing.assert_allclose(out[b], ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max(), err_msg=f"band {b}")
+        # accuracy against the band's own independently-planned gridding
+        # (different w grid -> different approximation, agreement ~epsilon)
+        plan_i = plan_idg(uvw, freq[sl], **kw)
+        ref_i = np.asarray(vis2dirty_idg(plan_i, jnp.asarray(vis[:, sl]), wgt=jnp.asarray(wgt[:, sl])))
+        assert np.abs(out[b] - ref_i).max() / np.abs(ref_i).max() < 2e-5, f"band {b}"
+
+
+def test_plan_cache_byte_bounded():
+    """The imager's plan cache evicts by accumulated device BYTES, not just
+    entry count (round-2 VERDICT weak #5: 256 8k-scale plans would OOM HBM
+    long before the count cap)."""
+    import jax.numpy as jnp
+    import pfb_imaging_tpu.core.imager as im
+
+    saved = (dict(im._PLAN_CACHE), im._PLAN_CACHE_BYTES, im._PLAN_CACHE_BYTES_CAP)
+    try:
+        im._PLAN_CACHE.clear()
+        im._PLAN_CACHE_BYTES = 0
+        im._PLAN_CACHE_BYTES_CAP = 4 * 1024 * 1024  # 4 MB budget
+        one_mb = jnp.zeros((1024, 256), jnp.float32)  # 1 MB entries
+        for i in range(8):
+            im._plan_cache_put(("k", i), (one_mb + i,))
+        assert len(im._PLAN_CACHE) <= 4
+        assert im._PLAN_CACHE_BYTES <= im._PLAN_CACHE_BYTES_CAP
+        # newest entries survive (LRU-ordered eviction)
+        assert ("k", 7) in im._PLAN_CACHE and ("k", 0) not in im._PLAN_CACHE
+    finally:
+        im._PLAN_CACHE.clear()
+        im._PLAN_CACHE.update(saved[0])
+        im._PLAN_CACHE_BYTES = saved[1]
+        im._PLAN_CACHE_BYTES_CAP = saved[2]
