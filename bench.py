@@ -77,7 +77,9 @@ def main():
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + ":" + env.get("PYTHONPATH", "")
     stages = env.get(
-        "BENCH_STAGES", "grid,grid7,gridver,grid4k,shard1,degrid,hess,hess8k,psi,major,widefield"
+        "BENCH_STAGES",
+        # priority order: the budget kill truncates the tail
+        "grid,grid7,gridver,widefield,grid4k,shard1,degrid,hess,hess8k,psi,major",
     )
     child = subprocess.Popen(
         [sys.executable, os.path.join(HERE, "scripts", "bench_child.py"), RESULTS_PATH, stages],

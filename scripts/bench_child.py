@@ -73,30 +73,28 @@ def main():
     emit("warmup", {"sec": round(time.time() - t_start, 1), "devices": str(jax.devices())[:100]})
     rng = np.random.default_rng(0)
 
-    if "grid" in STAGES:
-        stage_grid(rng)
-    if "grid7" in STAGES:
-        stage_grid7(rng)
-    if "gridver" in STAGES:
-        stage_gridver(rng)
-    if "grid4k" in STAGES:
-        stage_grid4k(rng)
-    if "shard1" in STAGES:
-        stage_shard1(rng)
-    if "degrid" in STAGES:
-        stage_degrid(rng)
-    if "hess" in STAGES:
-        stage_hess(rng)
-    if "hess8k" in STAGES:
-        stage_hess8k(rng)
-    if "psi" in STAGES:
-        stage_psi(rng)
-    if "major" in STAGES:
-        stage_major(rng)
-    if "widefield" in STAGES:
-        stage_widefield(rng)
-    if "major8k16" in STAGES:
-        stage_major8k16(rng)
+    table = {
+        "grid": stage_grid,
+        "grid7": stage_grid7,
+        "gridver": stage_gridver,
+        "grid4k": stage_grid4k,
+        "shard1": stage_shard1,
+        "degrid": stage_degrid,
+        "hess": stage_hess,
+        "hess8k": stage_hess8k,
+        "psi": stage_psi,
+        "major": stage_major,
+        "widefield": stage_widefield,
+        "major8k16": stage_major8k16,
+    }
+    # stages run IN THE GIVEN ORDER: the parent's budget kill truncates the
+    # tail, so callers order by priority
+    for name in STAGES:
+        if name in table:
+            try:
+                table[name](rng)
+            except Exception as e:  # a failed stage must not kill the rest
+                print(f"stage {name} failed: {repr(e)[:300]}", file=sys.stderr, flush=True)
 
 
 def _coords(rng, nrow, nchan):
