@@ -297,4 +297,72 @@ void fill_groups_wplanes(const int64_t* order, const int64_t* starts, const int6
   }
 }
 
+// ── uv-counts / Briggs weighting host kernels (ops/weighting.py) ────
+//
+// The XLA scatter-add form of compute_counts serialises on TPU (~us per
+// scalar update — 92 s for a 4M-vis pass at 8192^2, BENCH_r03
+// major8k16.briggs_sec); the host histogram is O(nvis) adds.
+
+// NN-binned weight histogram with the Hermitian v<0 fold
+// (reference utils/weighting.py:82-140). out: (ncorr, nx, ny), f64,
+// caller-zeroed. mask: (nrow, nchan); wgt: (ncorr, nrow, nchan).
+void counts_nn(const double* uvw, const double* freq, const double* mask,
+               const double* wgt, int64_t ncorr, int64_t nrow, int64_t nchan,
+               int64_t nx, int64_t ny, double cellx, double celly,
+               double usign, double vsign, double inv_c, double* out) {
+  const double u_cell = 1.0 / ((double)nx * cellx);
+  const double umax = std::fabs(1.0 / cellx / 2.0);
+  const double v_cell = 1.0 / ((double)ny * celly);
+  const double vmax = std::fabs(1.0 / celly / 2.0);
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < nrow; ++r) {
+    for (int64_t c = 0; c < nchan; ++c) {
+      if (mask[r * nchan + c] == 0.0) continue;
+      const double nf = freq[c] * inv_c;
+      double ut = uvw[3 * r] * nf * usign;
+      double vt = uvw[3 * r + 1] * nf * vsign;
+      if (vt < 0) { ut = -ut; vt = -vt; }
+      const int64_t iu = (int64_t)std::floor((ut + umax) / u_cell);
+      const int64_t iv = (int64_t)std::floor((vt + vmax) / v_cell);
+      if (iu < 0 || iu >= nx || iv < 0 || iv >= ny) continue;
+      for (int64_t k = 0; k < ncorr; ++k) {
+        double* p = out + (k * nx + iu) * ny + iv;
+#pragma omp atomic
+        *p += wgt[(k * nrow + r) * nchan + c];
+      }
+    }
+  }
+}
+
+// Per-sample weight division by the (Briggs-adjusted) counts grid
+// (reference counts_to_weights tail, weighting.py:184-208). counts is
+// the ALREADY-adjusted grid (counts*ssq + 1 applied caller-side);
+// wgt (ncorr, nrow, nchan) updated in place.
+void weights_from_counts(const double* counts, const double* uvw, const double* freq,
+                         const double* mask, int64_t ncorr, int64_t nrow, int64_t nchan,
+                         int64_t nx, int64_t ny, double cellx, double celly,
+                         double usign, double vsign, double inv_c, double* wgt) {
+  const double u_cell = 1.0 / ((double)nx * cellx);
+  const double umax = std::fabs(1.0 / cellx / 2.0);
+  const double v_cell = 1.0 / ((double)ny * celly);
+  const double vmax = std::fabs(1.0 / celly / 2.0);
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < nrow; ++r) {
+    for (int64_t c = 0; c < nchan; ++c) {
+      if (mask[r * nchan + c] == 0.0) continue;
+      const double nf = freq[c] * inv_c;
+      double ut = uvw[3 * r] * nf * usign;
+      double vt = uvw[3 * r + 1] * nf * vsign;
+      if (vt < 0) { ut = -ut; vt = -vt; }
+      int64_t iu = (int64_t)std::floor((ut + umax) / u_cell);
+      int64_t iv = (int64_t)std::floor((vt + vmax) / v_cell);
+      if (iu < 0 || iu >= nx || iv < 0 || iv >= ny) continue;
+      for (int64_t k = 0; k < ncorr; ++k) {
+        const double cval = counts[(k * nx + iu) * ny + iv];
+        if (cval > 0) wgt[(k * nrow + r) * nchan + c] /= cval;
+      }
+    }
+  }
+}
+
 }  // extern "C"

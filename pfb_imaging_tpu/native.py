@@ -61,6 +61,8 @@ def _build_and_load():
     )
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+    lib.counts_nn.argtypes = [f64p] * 4 + [ctypes.c_int64] * 5 + [ctypes.c_double] * 5 + [f64p]
+    lib.weights_from_counts.argtypes = [f64p] * 4 + [ctypes.c_int64] * 5 + [ctypes.c_double] * 5 + [f64p]
     lib.idg_wplane_coords.argtypes = (
         [f64p] * 2
         + [ctypes.c_int64] * 2
@@ -173,6 +175,43 @@ def idg_bucket_group(uvw, invlam, signs, cux, cvy, l0, m0, nbins, wmin, binw, al
     m = noccup.value
     payload = dict(du=du, dv=dv, phiu=phiu, phiv=phiv, ph_re=ph_re, ph_im=ph_im, key=key)
     return order, uniq[:m].copy(), starts[:m].copy(), counts[:m].copy(), payload
+
+
+def counts_nn(uvw, freq, mask, wgt, nx, ny, cellx, celly, usign, vsign, inv_c):
+    """Host NN-binned counts histogram; returns (ncorr, nx, ny) f64 or
+    None when the library is unavailable (callers fall back to XLA)."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray
+    wgt = c(wgt, dtype=np.float64)
+    ncorr, nrow, nchan = wgt.shape
+    out = np.zeros((ncorr, nx, ny))
+    lib.counts_nn(
+        c(uvw, dtype=np.float64), c(freq, dtype=np.float64), c(mask, dtype=np.float64),
+        wgt, ncorr, nrow, nchan, nx, ny,
+        float(cellx), float(celly), float(usign), float(vsign), float(inv_c), out,
+    )
+    return out
+
+
+def weights_from_counts(counts, uvw, freq, mask, wgt, nx, ny, cellx, celly,
+                        usign, vsign, inv_c):
+    """Per-sample weight division by the (adjusted) counts grid; returns
+    the new (ncorr, nrow, nchan) f64 weights or None (fallback)."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray
+    out = np.array(wgt, dtype=np.float64, order="C", copy=True)
+    ncorr, nrow, nchan = out.shape
+    lib.weights_from_counts(
+        c(counts, dtype=np.float64), c(uvw, dtype=np.float64),
+        c(freq, dtype=np.float64), c(mask, dtype=np.float64),
+        ncorr, nrow, nchan, nx, ny,
+        float(cellx), float(celly), float(usign), float(vsign), float(inv_c), out,
+    )
+    return out
 
 
 def idg_wplane_group(uvw, invlam, signs, cux, cvy, l0, m0, nbins, w0, dw, Ws,

@@ -15,10 +15,16 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from ..constants import LIGHTSPEED
+
+
+def _all_host(*arrs):
+    return all(isinstance(a, np.ndarray) for a in arrs)
 
 
 def _uv_bins(uvw, freq, nx, ny, cell_size_x, cell_size_y, usign, vsign):
@@ -47,7 +53,6 @@ def _uv_bins(uvw, freq, nx, ny, cell_size_x, cell_size_y, usign, vsign):
     return iu, iv, in_bounds
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "cell_size_x", "cell_size_y", "usign", "vsign"))
 def compute_counts(
     uvw,
     freq,
@@ -69,7 +74,36 @@ def compute_counts(
     Returns:
         counts (ncorr, nx, ny). Out-of-bounds samples are dropped (the
         reference skips them so sub-Nyquist gridding still works).
+
+    Host numpy inputs route to the native OpenMP histogram
+    (native/plan_kernels.cpp:counts_nn): the XLA scatter-add form
+    serialises per scalar update on TPU (~92 s for 4M vis at 8192^2,
+    BENCH_r03), the host pass is O(nvis) adds.
     """
+    if _all_host(uvw, freq, mask, wgt):
+        from ..native import counts_nn
+
+        out = counts_nn(uvw, freq, mask, wgt, nx, ny, cell_size_x, cell_size_y,
+                        usign, vsign, 1.0 / LIGHTSPEED)
+        if out is not None:
+            return out
+    return _compute_counts_jax(uvw, freq, mask, wgt, nx, ny, cell_size_x,
+                               cell_size_y, usign, vsign)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "cell_size_x", "cell_size_y", "usign", "vsign"))
+def _compute_counts_jax(
+    uvw,
+    freq,
+    mask,
+    wgt,
+    nx: int,
+    ny: int,
+    cell_size_x: float,
+    cell_size_y: float,
+    usign: float = 1.0,
+    vsign: float = -1.0,
+):
     iu, iv, in_bounds = _uv_bins(uvw, freq, nx, ny, cell_size_x, cell_size_y, usign, vsign)
     sel = in_bounds & (mask != 0)
     flat_idx = (iu * ny + iv).reshape(-1)
@@ -83,7 +117,6 @@ def compute_counts(
     return jax.vmap(one_corr)(wgt)
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "cell_size_x", "cell_size_y", "robust", "usign", "vsign"))
 def counts_to_weights(
     counts,
     uvw,
@@ -103,7 +136,46 @@ def counts_to_weights(
     Briggs: ssq = (5*10^-robust)^2 * sum(counts) / sum(counts^2) per corr,
     counts <- counts*ssq + 1, then weight /= counts at each sample's cell.
     robust <= -2 gives uniform weighting (no Briggs floor).
+
+    Host numpy inputs route to the native per-sample pass (the Briggs
+    grid adjustment is numpy; the division loop is OpenMP).
     """
+    if _all_host(counts, uvw, freq, weight, mask):
+        from ..native import weights_from_counts
+
+        counts = np.asarray(counts, np.float64)
+        if not np.any(counts != 0):
+            return weight
+        if robust > -2:
+            numsqrt = 5 * 10 ** (-robust)
+            avgwnum = np.sum(counts * counts, axis=(1, 2))
+            avgwden = np.sum(counts, axis=(1, 2))
+            ssq = numsqrt * numsqrt * avgwden / np.where(avgwnum > 0, avgwnum, 1.0)
+            counts = counts * ssq[:, None, None] + 1.0
+        out = weights_from_counts(counts, uvw, freq, mask, weight, nx, ny,
+                                  cell_size_x, cell_size_y, usign, vsign,
+                                  1.0 / LIGHTSPEED)
+        if out is not None:
+            return out
+    return _counts_to_weights_jax(counts, uvw, freq, weight, mask, nx, ny,
+                                  cell_size_x, cell_size_y, robust, usign, vsign)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "cell_size_x", "cell_size_y", "robust", "usign", "vsign"))
+def _counts_to_weights_jax(
+    counts,
+    uvw,
+    freq,
+    weight,
+    mask,
+    nx: int,
+    ny: int,
+    cell_size_x: float,
+    cell_size_y: float,
+    robust: float,
+    usign: float = 1.0,
+    vsign: float = -1.0,
+):
     ncorr = weight.shape[0]
     if robust > -2:
         numsqrt = 5 * 10 ** (-robust)

@@ -34,13 +34,29 @@ NREP = int(os.environ.get("BENCH_NREP", "4"))
 RESULTS = {}
 
 
+def devmem():
+    """Device-memory telemetry (VERDICT round-3 #9): the TPU analogue of
+    the reference's per-task rss/peak lines (band_worker.py:184-198)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return {
+            "hbm_gb": round(stats.get("bytes_in_use", 0) / 2**30, 2),
+            "hbm_peak_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2),
+        }
+    except Exception:
+        return {}
+
+
 def emit(key, obj):
+    mem = devmem()
+    if mem:
+        obj = {**obj, **mem}
     RESULTS[key] = obj
     tmp = OUT_PATH + ".tmp"
     with open(tmp, "w") as f:
         json.dump(RESULTS, f)
     os.replace(tmp, OUT_PATH)
-    print(f"[child] {key}: {json.dumps(obj)[:200]}", file=sys.stderr, flush=True)
+    print(f"[child] {key}: {json.dumps(obj)[:250]}", file=sys.stderr, flush=True)
 
 
 def scal(v):
@@ -542,19 +558,22 @@ def stage_major8k16(rng):
     nx_psf = 10240
     nrow, nchan = 1_000_000, 4  # 4M vis/band, 64M total
     cell = 8e-6 / 8  # 8k image at MeerKAT-like resolution
+    eps = 1e-7  # the reference's stock --epsilon (core/grid.py:50)
     rec = {"name": "grid_pcg_sara_8k_16band", "nx": nx, "nx_psf": nx_psf,
-           "nband": nband, "nvis_total": nband * nrow * nchan}
+           "nband": nband, "nvis_total": nband * nrow * nchan, "epsilon": eps}
     uvw, freq = _coords(rng, nrow, nchan)
     geom = dict(nx=nx, ny=nx, cellx=cell, celly=cell)
     t0 = time.time()
-    plan_im = plan_idg(uvw, freq, epsilon=1e-5, do_wgridding=True, divide_by_n=False, dtype=np.float32, **geom)
+    plan_im = plan_idg(uvw, freq, epsilon=eps, do_wgridding=True, divide_by_n=False, dtype=np.float32, **geom)
     rec["plan_sec"] = round(time.time() - t0, 1)
+    rec["subgrid"] = int(plan_im.S)
     emit("major8k16", rec)  # progress: planning done
 
     # Briggs weights (reference counts->weights, utils/weighting.py) — on
-    # the IMAGE grid (the reference's counts grid is the PSF grid, but a
-    # 10240^2 x 4M-point scatter is the chip's slowest op class; 8192^2
-    # binning changes the robustness taper negligibly at robust=0)
+    # the IMAGE grid (the reference's counts grid is the PSF grid; 8192^2
+    # binning changes the robustness taper negligibly at robust=0).
+    # Round 4: runs through the native OpenMP histogram (the XLA scatter
+    # form took 92 s here, BENCH_r03).
     t0 = time.time()
     wgt0 = np.ones((1, nrow, nchan))
     msk = np.ones((nrow, nchan))

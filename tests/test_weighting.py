@@ -1,6 +1,7 @@
 """Weighting tests (mirroring reference tests/test_weighting.py:14-207)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from pfb_imaging_tpu.constants import LIGHTSPEED
@@ -102,3 +103,32 @@ def test_box_sum_identities():
 
     oracle = np.stack([uniform_filter(counts[c], size=5, mode="constant", cval=0.0) * 25 for c in range(2)])
     np.testing.assert_allclose(out, oracle, atol=1e-10)
+
+
+def test_counts_native_matches_jax(rng):
+    """The native histogram/division kernels (counts_nn /
+    weights_from_counts, native/plan_kernels.cpp) must reproduce the XLA
+    scatter/gather forms exactly (the XLA scatter serialises on TPU —
+    92 s at 8192^2/4M vis, BENCH_r03)."""
+    import pfb_imaging_tpu.native as native
+    from pfb_imaging_tpu.ops.weighting import (
+        _compute_counts_jax, _counts_to_weights_jax, compute_counts, counts_to_weights)
+
+    assert native._build_and_load() is not None
+    nrow, nchan, nx = 3000, 3, 64
+    uvw = rng.uniform(-8000, 8000, (nrow, 3))
+    freq = np.linspace(1e9, 1.2e9, nchan)
+    mask = (rng.random((nrow, nchan)) > 0.1).astype(np.float64)
+    wgt = rng.uniform(0.5, 2.0, (2, nrow, nchan))
+    cell = 1e-5
+    c_nat = np.asarray(compute_counts(uvw, freq, mask, wgt, nx, nx, cell, cell))
+    c_jax = np.asarray(_compute_counts_jax(
+        jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(mask), jnp.asarray(wgt),
+        nx, nx, cell, cell))
+    np.testing.assert_allclose(c_nat, c_jax, rtol=0, atol=1e-12)
+    for robust in (0.0, -2.5):
+        w_nat = np.asarray(counts_to_weights(c_nat, uvw, freq, wgt, mask, nx, nx, cell, cell, robust))
+        w_jax = np.asarray(_counts_to_weights_jax(
+            jnp.asarray(c_jax), jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(wgt),
+            jnp.asarray(mask), nx, nx, cell, cell, robust))
+        np.testing.assert_allclose(w_nat, w_jax, rtol=1e-13, atol=0)
