@@ -46,6 +46,11 @@ def make_parser() -> argparse.ArgumentParser:
         "--data-column", default=None,
         help="MSv4 ingest: visibility column (default VISIBILITY/CORRECTED_DATA/DATA)",
     )
+    p.add_argument(
+        "--gain-table", default=None,
+        help="externally-solved gain table (TreeStore or .npz; utils/gains.py schema) "
+        "interpolated onto the stream at ingest",
+    )
     _add_common(p)
 
     for name in ("imager", "grid"):
@@ -162,7 +167,7 @@ def main(argv=None):
         init(
             args.ms, args.output, product=args.product, chan_average=args.chan_average,
             beam_model=args.beam_model, bda_decorrelation=args.bda_decorrelation,
-            data_column=args.data_column,
+            data_column=args.data_column, gain_table=args.gain_table,
         )
     elif cmd in ("imager", "grid"):
         from .core.imager import imager

@@ -65,6 +65,7 @@ def simulate_vis_store(
     ncorr: int = 2,
     feed_type: str = "linear",
     corrupt_gains: bool = False,
+    gain_table_out: str | None = None,
     pol_fractions=(0.0, 0.0, 0.0),
     beam_diameter: float | None = None,
     times_per_scan: int = 1,
@@ -77,6 +78,13 @@ def simulate_vis_store(
     ``pol_fractions`` = (Q/I, U/I, V/I) gives every source linear/circular
     polarisation (reference tests/test_polproducts.py analogue).
     Returns (store, truth) with truth = dict(model cube, cell_rad, freqs).
+
+    ``gain_table_out``: corrupt the visibilities through smooth
+    per-ANTENNA gains solved on a coarse (time, freq) grid and save that
+    grid as a gain table (utils/gains.py schema) at the given path — the
+    analogue of the reference's simulated QuartiCal corruptions
+    (tests/test_kclean.py:26). ``init(gain_table=...)`` then undoes the
+    corruption exactly.
     """
     rng = np.random.default_rng(seed)
     antennas = antenna_layout(nant, seed=seed)
@@ -139,6 +147,19 @@ def simulate_vis_store(
         for s in range(0, len(uvw_t), times_per_scan)
     ]
 
+    gains_tab = gt_time = gt_freq = None
+    if gain_table_out is not None:
+        # smooth per-antenna gains on a coarse solution grid (the table is
+        # ground truth; ingest maps it back with the same nearest bins)
+        ntg = max(2, ntime // 2 + 1)
+        nfg = max(2, nchan // 2)
+        gt_time = np.linspace(0.0, ntime * tint, ntg)
+        gt_freq = np.linspace(freq0, freq1, nfg)
+        gains_tab = 1.0 + 0.15 * (
+            rng.standard_normal((ntg, nfg, nant, ncorr))
+            + 1j * rng.standard_normal((ntg, nfg, nant, ncorr))
+        )
+
     for t, uvw in scans:
         nrow = uvw.shape[0]
         ntin = nrow // ant1.size
@@ -162,6 +183,14 @@ def simulate_vis_store(
                 if frac:
                     stokes_vis[s, :, c : c + 1] = frac * vis_i
         vis = np.asarray(stokes_to_corr(stokes_vis, feed_type=feed_type, ncorr=ncorr))
+        if gains_tab is not None:
+            from ..utils.gains import gains_to_jones
+
+            jp, jq = gains_to_jones(
+                gains_tab, gt_time, gt_freq, times_row,
+                np.tile(ant1, ntin), np.tile(ant2, ntin), freqs,
+            )
+            vis = jp * np.conj(jq) * vis
         wgt = np.ones((ncorr, nrow, nchan))
         if noise > 0:
             vis = vis + noise * (rng.standard_normal(vis.shape) + 1j * rng.standard_normal(vis.shape))
@@ -182,6 +211,11 @@ def simulate_vis_store(
             g.write("JONES_Q", gq)
         g.write("VIS", vis)
         g.write("WEIGHT", wgt)
+
+    if gains_tab is not None:
+        from ..utils.gains import save_gain_table
+
+        save_gain_table(TreeStore(gain_table_out, mode="w"), gains_tab, gt_time, gt_freq)
 
     truth = dict(model=model, cell_rad=cell_rad, freqs=freqs, nx=nx)
     return store, truth
