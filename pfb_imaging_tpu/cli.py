@@ -116,6 +116,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--cell-rad", type=float, required=True)
     p.add_argument("--column", default="MODEL_DATA")
     p.add_argument("--to-corr", action="store_true")
+    p.add_argument(
+        "--region-file", default=None,
+        help="split the prediction by regions (circle/box text spec or .npy "
+        "mask stack); remainder -> --column, region i -> --column{i}",
+    )
+    p.add_argument("--gridder", default="auto", choices=("auto", "idg", "stack"))
     _add_common(p)
 
     p = sub.add_parser("fluxtractor", help="vis-space CG flux mop")
@@ -206,7 +212,8 @@ def main(argv=None):
     elif cmd == "degrid":
         from .core.degrid import degrid
 
-        degrid(args.mds, args.ms, cell_rad=args.cell_rad, column=args.column, to_corr=args.to_corr)
+        degrid(args.mds, args.ms, cell_rad=args.cell_rad, column=args.column,
+               to_corr=args.to_corr, region_file=args.region_file, gridder=args.gridder)
     elif cmd == "fluxtractor":
         from .core.fluxtractor import fluxtractor
 

@@ -608,3 +608,69 @@ def test_gain_table_ingest_recovery(tmp_path):
     imager(xds_r, str(tmp_path / "r.dt"), **common)
     d_r = dirty(str(tmp_path / "r.dt"))
     assert np.abs(d_r - d_c).max() / flux > 0.03
+
+
+def _mk_mds(tmp_path, truth, ms_path):
+    from pfb_imaging_tpu.utils.modelspec import fit_image_cube, save_mds
+
+    rng2 = np.random.default_rng(5)
+    freqs = np.asarray(TreeStore(ms_path).attrs["freq"])
+    nx = truth["nx"]
+    cube = np.zeros((1, freqs.size, nx, nx))
+    cube[:, :, nx // 2, nx // 2] = 1.0 + 0.05 * rng2.standard_normal(freqs.size)
+    cube[:, :, nx // 2 + 5, nx // 2 - 4] = 0.5
+    coeffs, ix, iy, mattrs = fit_image_cube(np.zeros(1), freqs, cube)
+    mds = str(tmp_path / "m.mds")
+    save_mds(TreeStore(mds, mode="w"), coeffs, ix, iy, mattrs)
+    return mds
+
+
+def test_degrid_region_masks(tmp_path):
+    """Region-file prediction (reference core/degrid.py:200-260, round-3
+    VERDICT #7): remainder + per-region columns sum to the unsplit
+    prediction; overlapping regions are rejected."""
+    import pytest as _pytest
+
+    from pfb_imaging_tpu.core.degrid import degrid, load_region_masks
+    from pfb_imaging_tpu.core.simulate import simulate_vis_store
+
+    ms = str(tmp_path / "d.ms.tree")
+    _, truth = simulate_vis_store(ms, nant=6, ntime=2, nchan=3, nx=32)
+    mds = _mk_mds(tmp_path, truth, ms)
+    nx = truth["nx"]
+    reg = tmp_path / "regions.txt"
+    reg.write_text(f"circle {nx // 2 + 5} {nx // 2 - 4} 2.5\n")
+    degrid(mds, ms, truth["cell_rad"], to_corr=True)
+    degrid(mds, ms, truth["cell_rad"], to_corr=True, column="SPLIT", region_file=str(reg))
+    ts = TreeStore(ms)
+    for key in ts.groups():
+        g = ts.group(key)
+        full = np.asarray(g.read("MODEL_DATA"))
+        summed = np.asarray(g.read("SPLIT")) + np.asarray(g.read("SPLIT1"))
+        np.testing.assert_allclose(summed, full, rtol=1e-12, atol=1e-12 * np.abs(full).max())
+        # the region column must carry ONLY the off-centre source
+        assert np.abs(np.asarray(g.read("SPLIT1"))).max() > 0.1
+    masks = load_region_masks(str(reg), nx, nx)
+    assert len(masks) == 2 and float(np.sum(masks, axis=0).max()) == 1.0
+    reg2 = tmp_path / "overlap.txt"
+    reg2.write_text(f"circle {nx // 2} {nx // 2} 4\ncircle {nx // 2} {nx // 2 + 1} 4\n")
+    with _pytest.raises(ValueError, match="Overlapping"):
+        load_region_masks(str(reg2), nx, nx)
+
+
+def test_degrid_idg_matches_stack(tmp_path):
+    """IDG-routed degrid == classic w-stacking degrid within the epsilon
+    envelope (round-3 VERDICT #7: degrid backend parity)."""
+    from pfb_imaging_tpu.core.degrid import degrid
+    from pfb_imaging_tpu.core.simulate import simulate_vis_store
+
+    ms = str(tmp_path / "d.ms.tree")
+    _, truth = simulate_vis_store(ms, nant=9, ntime=2, nchan=3, nx=32)
+    mds = _mk_mds(tmp_path, truth, ms)
+    degrid(mds, ms, truth["cell_rad"], to_corr=True, column="M_IDG", gridder="idg", epsilon=1e-6)
+    degrid(mds, ms, truth["cell_rad"], to_corr=True, column="M_STK", gridder="stack", epsilon=1e-10)
+    ts = TreeStore(ms)
+    for key in ts.groups():
+        a = np.asarray(ts.group(key).read("M_IDG"))
+        b = np.asarray(ts.group(key).read("M_STK"))
+        assert np.abs(a - b).max() / np.abs(b).max() < 5e-6, key
