@@ -53,6 +53,8 @@ not the old coherent ~|phase|*eps_f32 angle rounding.
 from __future__ import annotations
 
 import dataclasses
+import os
+import pickle
 from functools import partial
 
 import numpy as np
@@ -141,6 +143,11 @@ def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET,
            None if tol is None else float(np.format_float_scientific(tol, 2)))
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
+    disk = _fit_disk_get(key)
+    if disk is not None:
+        c, err = disk
+        _FIT_CACHE[key] = (c, _make_T(S, half, c), err)
+        return _FIT_CACHE[key]
     k0_off = (S - half) // 2
     xc = np.fft.fftfreq(S) * S
     ks = np.arange(S)
@@ -189,28 +196,39 @@ def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET,
             errs.append(np.abs(r - r.mean()).max())
         return max(errs) / np.abs(Ts).max(), Ts
 
-    if tol is None:
-        _, Y = _sla.eigh(Hk, Greg)
-        c = Vk @ Y[:, 0]
-        err, Ts = _validate(c)
-    else:
-        # bisect lam (log-space) to the FLATTEST taper with err <= tol;
-        # lam -> inf recovers the unconstrained minimum-deviation taper
-        c = _solve(1e16)
-        err, Ts = _validate(c)
-        if err <= tol:  # tol reachable: walk lam down
-            lo, hi = -2.0, 16.0  # log10(lam) bracket
-            for _ in range(18):
-                mid = 0.5 * (lo + hi)
-                cm = _solve(10.0 ** mid)
-                em, Tm = _validate(cm)
-                if em <= tol:
-                    hi, c, err, Ts = mid, cm, em, Tm
-                else:
-                    lo = mid
+    # the pure-Hk eigenproblem is the lam -> inf limit; a finite lam
+    # anchor misjudges reachability because the smallest Hk eigenvalues
+    # (sv^2 down to ~1e-23) never dominate Qk at any float lam
+    _, Y = _sla.eigh(Hk, Greg)
+    c = Vk @ Y[:, 0]
+    err, Ts = _validate(c)
+    if tol is not None and err <= tol:
+        # tol reachable: bisect lam (log-space) to the FLATTEST taper
+        # with err <= tol (the unconstrained optimum stays the fallback)
+        lo, hi = -2.0, 16.0  # log10(lam) bracket
+        for _ in range(18):
+            mid = 0.5 * (lo + hi)
+            cm = _solve(10.0 ** mid)
+            em, Tm = _validate(cm)
+            if em <= tol:
+                hi, c, err, Ts = mid, cm, em, Tm
+            else:
+                lo = mid
     # normalise so T(0) ~ 1 (pure convention; keeps grids O(vis))
     t0 = Ts[len(Ts) // 2]
     c = c / t0
+
+    _FIT_CACHE[key] = (c, _make_T(S, half, c), err)
+    _fit_disk_put(key, c, err)
+    return _FIT_CACHE[key]
+
+
+def _make_T(S: int, half: int, c: np.ndarray):
+    """Band response T(xi) of taper ``c`` (mean over reference offsets)."""
+    k0_off = (S - half) // 2
+    xc = np.fft.fftfreq(S) * S
+    ks = np.arange(S)
+    F = np.exp(-2j * np.pi * np.outer(ks, xc) / S)
 
     def T_of_xi(xi_arr):
         xi_arr = np.atleast_1d(np.asarray(xi_arr, np.float64))
@@ -225,8 +243,46 @@ def fit_taper(S: int, half: int, ximax: float, chirp_max: float = CHIRP_BUDGET,
             out[i] = acc / du_ref.size
         return out
 
-    _FIT_CACHE[key] = (c, T_of_xi, err)
-    return _FIT_CACHE[key]
+    return T_of_xi
+
+
+# Taper fits are pure functions of (S, half, ximax, chirp, tol) and cost
+# ~10 s each (SVD + lam bisection with dense validation): a cross-process
+# disk cache saves ~25 s of every plan at a new geometry (the bench child
+# and every driver process would otherwise recompute identical fits).
+_FIT_DISK_PATH = os.environ.get(
+    "PFB_TPU_FIT_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "pfb_imaging_tpu", "taper_fits.pkl"),
+)
+_FIT_DISK: dict | None = None
+
+
+def _fit_disk_load() -> dict:
+    global _FIT_DISK
+    if _FIT_DISK is None:
+        try:
+            with open(_FIT_DISK_PATH, "rb") as f:
+                _FIT_DISK = pickle.load(f)
+        except Exception:
+            _FIT_DISK = {}
+    return _FIT_DISK
+
+
+def _fit_disk_get(key):
+    return _fit_disk_load().get(key)
+
+
+def _fit_disk_put(key, c, err) -> None:
+    disk = _fit_disk_load()
+    disk[key] = (np.asarray(c), float(err))
+    try:
+        os.makedirs(os.path.dirname(_FIT_DISK_PATH), exist_ok=True)
+        tmp = f"{_FIT_DISK_PATH}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(disk, f)
+        os.replace(tmp, _FIT_DISK_PATH)
+    except OSError:
+        pass
 
 
 # ── split-precision f32 phase evaluation (TPU: no f64/c128 support) ──
@@ -343,6 +399,7 @@ def _split_f32(a):
         "hermitian",
         "w_support",
         "zpasses",
+        "epsilon",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -377,6 +434,7 @@ class IDGPlan:
     hermitian: bool  # True: v<0 rows folded; sg carries the conj signs
     w_support: int  # 1 = chirp mode; >1 = w-plane kernel support (wplanes)
     zpasses: int  # fused-kernel matmul precision: 3 (eps>=4e-6) or 6
+    epsilon: float  # requested accuracy tier (static; see delivered_accuracy)
     # device arrays
     au_re: jnp.ndarray  # (ng, S, G) A_u incl. taper c_u (einsum backend)
     au_im: jnp.ndarray
@@ -589,13 +647,17 @@ def plan_idg(
     rdt32 = np.dtype(dtype) == np.float32
     subgrid_auto = subgrid is None and half is None
     if subgrid is None:
-        # epsilon-adaptive subgrid: the SVD taper fit reaches 3.8e-6 at
-        # (S=16, half=8, sigma=1.5) and 4.3e-9 at (S=24, half=12) — both
-        # served by the fused Pallas kernel (S=24 at zpasses=6 since
-        # round 4); S=24 covers the reference's default epsilon=1e-7
-        # (reference core/grid.py:50) with margin. Sparse wplanes
-        # layouts upgrade to (S=32, half=16) further down.
-        subgrid = 16 if epsilon >= 4e-6 else 24
+        # epsilon-adaptive subgrid: S=16/half=8 (fit floor 4e-6) serves
+        # the loose tiers; the tight tier (< 4e-6, incl. the reference
+        # default 1e-7, core/grid.py:50) is S=32/half=16 at sigma=1.5 —
+        # the flatness-regularised fit reaches 5e-8 deviation with 1/T
+        # edge amplification ~9 there (vs ~16 for S=24/half=12 at
+        # sigma=1.75, round-4 measurements), with a HALF=16 bucket
+        # lattice (fewer groups) and a 27% smaller big FFT. Both run the
+        # fused Pallas kernel. S=24 remains a supported explicit choice.
+        subgrid = 16 if epsilon >= 4e-6 else 32
+        if half is None:
+            half = 8 if subgrid == 16 else 16
     if half is None:
         half = subgrid // 2
     # fused-kernel matmul precision tier: the 3-pass bf16 split's ~1e-6
@@ -611,11 +673,16 @@ def plan_idg(
     if sigma is None:
         # epsilon-adaptive oversampling: the big FFT + bucket lattice
         # scale with sigma^2, but smaller sigma widens the image band and
-        # grows the edge correction 1/T (sigma=1.5/S=16: Tcond ~38, which
-        # amplifies the ~2e-7 f32 substrate noise to ~1e-5 at the image
-        # edge — measured). 1.5 is therefore reserved for loose epsilon;
-        # 1.75 holds edge amplification ~14x (S=16) / ~40x (S=24).
-        sigma = 1.5 if epsilon >= 2e-5 else 1.75
+        # grows the edge correction 1/T. The flatness-regularised fit
+        # (round 4) bounds 1/T per tier: S=32 holds amp ~2-9 even at
+        # sigma=1.5, so the big tiers keep the small grid; S=24 needs
+        # 1.75 (amp 16 vs 55 at 1.5); S=16's fit floor pins the old rule.
+        if subgrid >= 32:
+            sigma = 1.5
+        elif subgrid == 24:
+            sigma = 1.75
+        else:
+            sigma = 1.5 if epsilon >= 2e-5 else 1.75
     nbig_x = _good_multiple(max(int(np.ceil(sigma * nx)), nx + 2 * S), half)
     nbig_y = _good_multiple(max(int(np.ceil(sigma * ny)), ny + 2 * S), half)
     nbu = nbig_x // half
@@ -728,15 +795,17 @@ def plan_idg(
             mode = "wplanes" if cost_wp < cost_chirp else "chirp"
         else:
             mode = w_mode
-        if mode == "wplanes" and subgrid_auto:
+        if mode == "wplanes" and subgrid_auto and S != 32:
             # coarse-lattice tier (round 4, VERDICT #3): wplanes layouts
             # are slot-sparse (w_support replicas scattered over the
             # (plane, bucket) lattice — measured 5.4x group padding at
             # half=8 buckets, docs/perf.md). half=16 buckets quarter the
-            # occupied-lattice granularity; the (S=32, half=16) taper fit
-            # holds 7e-12, and the fused kernel packs PK=4 groups per
-            # 128-row matmul (MXU-exact).
+            # occupied-lattice granularity; the (S=32, half=16) flat
+            # taper fit holds <= eps/2 at sigma=1.5 with 1/T amp < 9,
+            # and the fused kernel packs PK=4 groups per 128-row matmul
+            # (MXU-exact).
             S, half = 32, 16
+            sigma = 1.5
             k0_off = (S - half) // 2
             nbig_x = _good_multiple(max(int(np.ceil(sigma * nx)), nx + 2 * S), half)
             nbig_y = _good_multiple(max(int(np.ceil(sigma * ny)), ny + 2 * S), half)
@@ -1051,12 +1120,13 @@ def plan_idg(
     ximax_x = nx / (2.0 * nbig_x) + 0.01
     ximax_y = ny / (2.0 * nbig_y) + 0.01
     chirp = CHIRP_BUDGET if (do_w and w_support == 1) else 0.0
-    # half of epsilon budgeted to the per-axis fit deviation; the
-    # bisection trades any excess accuracy for a FLAT band response so
-    # the image correction 1/T does not amplify the f32 substrate noise
-    # at the image edge (see fit_taper)
-    cu, Tu_fn, err_u = fit_taper(S, half, ximax_x, chirp, tol=0.5 * epsilon)
-    cv, Tv_fn, err_v = fit_taper(S, half, ximax_y, chirp, tol=0.5 * epsilon)
+    # a quarter of epsilon budgeted to EACH axis fit deviation (the
+    # bisection drives the fit error up to its budget, the two axes add,
+    # and the w scheme spends the rest); the bisection trades any excess
+    # accuracy for a FLAT band response so the image correction 1/T does
+    # not amplify the f32 substrate noise at the image edge (fit_taper)
+    cu, Tu_fn, err_u = fit_taper(S, half, ximax_x, chirp, tol=0.25 * epsilon)
+    cv, Tv_fn, err_v = fit_taper(S, half, ximax_y, chirp, tol=0.25 * epsilon)
 
     xc = np.fft.fftfreq(S) * S
     rdt = np.float32 if dtype == np.float32 else np.float64
@@ -1207,6 +1277,7 @@ def plan_idg(
         hermitian=bool(hermitian),
         w_support=int(w_support),
         zpasses=int(zpasses),
+        epsilon=float(epsilon),
         au_re=jnp.asarray(au_re),
         au_im=jnp.asarray(au_im),
         av_re=jnp.asarray(av_re),
@@ -1229,6 +1300,42 @@ def plan_idg(
             if rdt == np.float32
             else np.zeros_like(nm1)
         ),
+    )
+
+
+def delivered_accuracy(plan: IDGPlan) -> dict:
+    """Per-plan accuracy budget (round-3 VERDICT weak #4: make the
+    delivered-vs-requested epsilon envelope principled).
+
+    The requested epsilon bounds the ALGORITHMIC approximation (taper-fit
+    deviation, budgeted <= epsilon/2 per axis, plus the w-residual /
+    w-kernel truncation). On the f32 device path the substrate adds an
+    incoherent ~2e-7 floor (sincos/rotation ulp, c64 FFT rounding, split-
+    matmul noise) which the image correction 1/T amplifies toward the
+    image edge — bounded since round 4 by the flatness-regularised fit
+    (fit_taper tol): measured 1/T ranges ~13x (S=16), ~17x (S=24, eps
+    1e-7), ~1.4x (S=32 widefield).
+
+    Returns dict(edge_amp, substrate, interior, edge): ``interior`` and
+    ``edge`` are rel-Linf budgets vs an f64 oracle that the bench's
+    gridder_verify stage enforces on-chip every round.
+    """
+    corr = np.abs(
+        np.asarray(plan.corr_re).astype(np.float64)
+        + 1j * np.asarray(plan.corr_im).astype(np.float64)
+    )
+    c0 = float(corr[plan.nx // 2, plan.ny // 2])
+    amp = float(corr.max() / max(c0, 1e-300))
+    f32 = plan.phase_re.dtype == jnp.float32
+    substrate = 2e-7 if f32 else 2e-16
+    # fit deviation <= eps/2 per axis (+ w budget ~eps) ~ 2 eps total;
+    # substrate enters with a small safety factor for accumulation
+    eps_alg = 2.0 * plan.epsilon
+    return dict(
+        edge_amp=amp,
+        substrate=substrate,
+        interior=eps_alg + 5.0 * substrate,
+        edge=eps_alg + 5.0 * substrate * amp,
     )
 
 
