@@ -71,8 +71,11 @@ from jax.experimental.pallas import tpu as pltpu
 G = 128          # group size = MXU lane count (fixed)
 SUPPORTED_S = (16, 24, 32)
 
-# groups per kernel block (VMEM-sized; must be a multiple of pack_count(S))
-_BLOCK_GROUPS = {16: 128, 24: 80, 32: 64}
+# groups per kernel block (VMEM-sized; must be a multiple of pack_count(S)).
+# Sized against the ~16 MB scoped-vmem stack limit: the 4 rotation
+# scratches (S, BG, G) f32 dominate, plus the zpasses=6 split temporaries
+# (S=32 at BG=64 measured 18.4 MB of stack — over the limit).
+_BLOCK_GROUPS = {16: 128, 24: 80, 32: 32}
 
 __all__ = ["fused_supported", "patches_from_vals", "vals_from_patches",
            "wc_perm_kron", "pack_count", "block_groups", "G", "SUPPORTED_S"]
