@@ -293,7 +293,12 @@ def deconv(
         mfs = residual.sum(axis=0) / wsum
         rms = float(np.std(mfs))
         rmax = float(np.abs(mfs).max())
-        log.info("iter %d: lam=%.3e rms=%.3e rmax=%.3e", k + 1, lam, rms, rmax)
+        from ..utils.profiling import memory_line
+
+        log.info(
+            "iter %d: lam=%.3e rms=%.3e rmax=%.3e [%s]",
+            k + 1, lam, rms, rmax, memory_line(),
+        )
 
         if rms < best_rms:
             best_rms = rms

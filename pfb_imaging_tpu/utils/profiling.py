@@ -97,6 +97,30 @@ def device_memory_stats() -> list[dict]:
     return out
 
 
+def memory_line() -> str:
+    """One-line memory telemetry for driver progress logs (the reference
+    prints per-task {pid, rss_gb, peak_gb} in every progress line,
+    core/imager.py:574-583 / memory-and-ray.md:75-92): host peak RSS plus
+    device HBM where the backend exposes it."""
+    import os
+
+    parts = [f"pid={os.getpid()}"]
+    try:
+        import resource
+
+        parts.append(
+            f"rss_peak={resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20:.2f}GB"
+        )
+    except Exception:
+        pass
+    for d in device_memory_stats():
+        if d.get("bytes_in_use"):
+            parts.append(f"hbm={d['bytes_in_use'] / 2**30:.2f}GB")
+        if d.get("peak_bytes_in_use"):
+            parts.append(f"hbm_peak={d['peak_bytes_in_use'] / 2**30:.2f}GB")
+    return " ".join(parts)
+
+
 def cost_analysis(fn, *args, **kwargs) -> dict:
     """XLA cost analysis (flops, bytes accessed) for a jitted function —
     the roofline numbers the build plan calls for per kernel."""

@@ -35,16 +35,28 @@ RESULTS = {}
 
 
 def devmem():
-    """Device-memory telemetry (VERDICT round-3 #9): the TPU analogue of
-    the reference's per-task rss/peak lines (band_worker.py:184-198)."""
+    """Memory telemetry (VERDICT round-3 #9): the analogue of the
+    reference's per-task rss/peak lines (band_worker.py:184-198) —
+    device HBM stats where the runtime exposes them (the axon tunnel
+    does not), host RSS always."""
+    out = {}
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        return {
-            "hbm_gb": round(stats.get("bytes_in_use", 0) / 2**30, 2),
-            "hbm_peak_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2),
-        }
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if stats.get("bytes_in_use"):
+            out["hbm_gb"] = round(stats["bytes_in_use"] / 2**30, 2)
+        if stats.get("peak_bytes_in_use"):
+            out["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
     except Exception:
-        return {}
+        pass
+    try:
+        import resource
+
+        out["rss_peak_gb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2
+        )
+    except Exception:
+        pass
+    return out
 
 
 def emit(key, obj):
@@ -573,9 +585,7 @@ def stage_major8k16(rng):
     HBM budget: dirty+model+update 16 x 3 x 256 MB = 12 GB (update held
     bf16: 10 GB) + |PSFHAT| 0.84 GB + plan + step temps ~ 13 GB of 16.
     """
-    from functools import partial
-
-    from pfb_imaging_tpu.core.step import pd_step_sizes, pfb_major_step
+    from pfb_imaging_tpu.core.step import pd_step_sizes
     from pfb_imaging_tpu.ops.gridder_idg import hessian_vis_idg, plan_idg, to_group_layout, vis2dirty_idg
     from pfb_imaging_tpu.ops.hessian import HessianCube
     from pfb_imaging_tpu.ops.psf import psf_to_psfhat
@@ -657,15 +667,6 @@ def stage_major8k16(rng):
     psi = Psi(1, nx, nx, bases=("self", "db1", "db2"), nlevel=2)
     hess = HessianCube.build(abspsfhat, np.ones(1, np.float32), 1e-5, nx_psf, nx_psf)
     sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
-    step = partial(
-        pfb_major_step,
-        psi=psi,
-        gamma=jnp.full(1, 1.0, jnp.float32),
-        sigma=jnp.full(1, sigma, jnp.float32),
-        tau=jnp.full(1, tau, jnp.float32),
-        cg_tol=0.0, cg_maxit=10, cg_minit=10,
-        pd_tol=0.0, pd_maxit=10, pos=True,
-    )
     lam = jnp.full(1, 1e-3, jnp.float32)
     wgt_g = to_group_layout(plan_im, wgt_j)
     # device-resident per-band state; updates stored bf16 (CG warm starts
@@ -674,24 +675,53 @@ def stage_major8k16(rng):
     updates = [jnp.zeros((nx, nx), jnp.bfloat16) for _ in range(nband)]
     dual0 = jnp.zeros((1, psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
     l1w = jnp.ones((psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
-    inv_wsum = jnp.full(1, 1.0 / wsum, jnp.float32)
+    inv_wsum = float(1.0 / wsum)
+
+    # THREE programs per band — the single fused cycle program at 8k
+    # (CG while_loop + PD while_loop + the IDG round trip) exceeds what
+    # the tunnel's remote compiler survives (measured: broken pipe after
+    # ~25 min); split, each piece compiles in minutes and caches
+    from jax.tree_util import Partial
+
+    from pfb_imaging_tpu.deconv.pfb import _pfb_grad
+    from pfb_imaging_tpu.ops.hessian import hess_cube_dot
+    from pfb_imaging_tpu.opt.pcg import pcg
+    from pfb_imaging_tpu.opt.primal_dual import primal_dual_loop
+    from pfb_imaging_tpu.prox.positivity import positivity
+    from pfb_imaging_tpu.prox.prox_21m import dual_update as dual_update_21m
 
     @jax.jit
-    def band_cycle(hess, dirty_b, model_b, update_b, dual0, l1w, lam, wgt_g, inv_wsum):
-        m, u, _ = step(
-            hess, (dirty_b * inv_wsum[0])[None], model_b[None],
-            update_b.astype(jnp.float32)[None], dual0, l1w, lam,
+    def fwd_cg(hess, dirty_b, update_b):
+        res = (dirty_b * inv_wsum)[None]
+        u = pcg(Partial(hess_cube_dot, hess), res,
+                x0=update_b.astype(jnp.float32)[None], tol=0.0, maxit=10, minit=10)
+        return u
+
+    @jax.jit
+    def bwd_pd(hess, model_b, u, dual0, l1w, lam):
+        aop = Partial(hess_cube_dot, hess)
+        xtilde = model_b[None] + u  # gamma = 1
+        grad = Partial(_pfb_grad, aop, xtilde, 1.0)
+        m, _, _, _ = primal_dual_loop(
+            model_b[None], dual0, lam, l1w,
+            jnp.full(1, sigma, jnp.float32), jnp.full(1, tau, jnp.float32), grad,
+            psi_dot=psi.dot, psi_hdot=psi.hdot, primal_prox=positivity,
+            dual_update=dual_update_21m, tol=0.0, maxit=10,
         )
-        conv = hessian_vis_idg(plan_im, m[0], wgt_g=wgt_g)
-        return m[0], u[0].astype(jnp.bfloat16), dirty_b - conv
+        return m[0]
+
+    @jax.jit
+    def resid_up(dirty_b, m, wgt_g):
+        return dirty_b - hessian_vis_idg(plan_im, m, wgt_g=wgt_g)
 
     cyc_secs = []
     for cyc in range(2):
         t0 = time.time()
         for b in range(nband):
-            models[b], updates[b], dirty[b] = band_cycle(
-                hess, dirty[b], models[b], updates[b], dual0, l1w, lam, wgt_g, inv_wsum
-            )
+            u = fwd_cg(hess, dirty[b], updates[b])
+            updates[b] = u[0].astype(jnp.bfloat16)
+            models[b] = bwd_pd(hess, models[b], u, dual0, l1w, lam)
+            dirty[b] = resid_up(dirty[b], models[b], wgt_g)
         # one scalar fetch synchronises the cycle
         np.asarray(cks(models[nband - 1]))
         cyc_secs.append(time.time() - t0)
