@@ -83,7 +83,7 @@ def main():
         # grid -> PCG -> SARA at the reference-default epsilon=1e-7) —
         # placed right after the headline gridder stages so its
         # sec_per_major_cycle always lands in the capture (VERDICT #1).
-        "grid,grid7,gridver,major8k16,widefield,grid4k,shard1,degrid,hess8k,psi,major,hess",
+        "grid,grid7,gridver,major8k16,widefield,grid4k,mbres,shard1,degrid,hess8k,psi,major,hess",
     )
     child = subprocess.Popen(
         [sys.executable, os.path.join(HERE, "scripts", "bench_child.py"), RESULTS_PATH, stages],
@@ -150,6 +150,7 @@ def main():
         "major_cycle",
         "widefield",
         "major8k16",
+        "multiband_residual",
     ):
         if key in results:
             print(f"{key}: {json.dumps(results[key])}", file=sys.stderr, flush=True)

@@ -70,7 +70,7 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("--single-precision", action="store_true")
         p.add_argument(
             "--gridder", choices=("auto", "idg", "stack"), default="auto",
-            help="measurement operator backend (auto: idg when epsilon >= 2e-6)",
+            help="measurement operator backend (auto: idg down to epsilon 1e-8 when the occupancy budget allows)",
         )
         _add_common(p)
 
@@ -144,7 +144,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--epsilon", type=float, default=1e-7)
     p.add_argument(
         "--gridder", choices=("auto", "idg", "stack"), default="auto",
-        help="measurement operator backend (auto: idg when epsilon >= 2e-6)",
+        help="measurement operator backend (auto: idg down to epsilon 1e-8 when the occupancy budget allows)",
     )
     _add_common(p)
 

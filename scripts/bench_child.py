@@ -114,6 +114,7 @@ def main():
         "major": stage_major,
         "widefield": stage_widefield,
         "major8k16": stage_major8k16,
+        "mbres": stage_mbres,
     }
     # stages run IN THE GIVEN ORDER: the parent's budget kill truncates the
     # tail, so callers order by priority
@@ -565,6 +566,56 @@ def stage_widefield(rng):
     emit("widefield", rec)
 
 
+def stage_mbres(rng):
+    """Multiband residual dispatch (round-3 VERDICT #5): ALL bands of a
+    partition through ONE vmapped program vs nband serial dispatches —
+    the production deconv residual phase (core/deconv.py)."""
+    import jax.tree_util as jtu
+
+    from pfb_imaging_tpu.ops.gridder_idg import hessian_vis_idg, to_group_layout
+    from pfb_imaging_tpu.parallel.sharded import (
+        multiband_hessian_vis_idg,
+        multiband_to_group_layout,
+        plan_idg_multiband,
+    )
+
+    nband, nrow, nchan, nx = 8, 250_000, 8, 1024
+    uvw, freq = _coords(rng, nrow, nchan)
+    kw = dict(epsilon=1e-7, do_wgridding=True, divide_by_n=False, dtype=np.float32, **_geom(nx))
+    slices = [np.arange(b, b + 1) for b in range(nband)]  # 1 chan per band
+    stacked, nch = plan_idg_multiband(uvw, freq, slices, **kw)
+    wgt = jnp.asarray(rng.uniform(0.5, 1.5, (nband, nrow, nch)).astype(np.float32))
+    wgt_g = multiband_to_group_layout(stacked, wgt)
+    x = jnp.asarray(rng.standard_normal((nband, nx, nx)).astype(np.float32))
+    sc = jax.jit(lambda a, s: a * s[0])
+    mb = lambda i: multiband_hessian_vis_idg(stacked, sc(x, scal(1.0 + 1e-6 * i)), wgt_g)  # noqa: E731
+    np.asarray(cks(mb(0)))
+    dt_mb = timed_chain(mb, nrep=2)
+    plans = [jtu.tree_map(lambda a: a[b], stacked) for b in range(nband)]
+
+    def serial(i):
+        outs = [
+            hessian_vis_idg(plans[b], sc(x, scal(1.0 + 1e-6 * i))[b], wgt_g=wgt_g[b])
+            for b in range(nband)
+        ]
+        return jnp.stack(outs)
+
+    np.asarray(cks(serial(0)))
+    dt_s = timed_chain(serial, nrep=2)
+    emit(
+        "multiband_residual",
+        {
+            "name": "hessian_roundtrip_all_bands",
+            "nband": nband,
+            "nvis_total": nband * nrow,
+            "nx": nx,
+            "multiband_ms": dt_mb * 1e3,
+            "serial_ms": dt_s * 1e3,
+            "speedup": round(dt_s / dt_mb, 2),
+        },
+    )
+
+
 def stage_major8k16(rng):
     """BASELINE.md end-to-end target: 8k x 8k image, 16 bands,
     grid -> PCG forward -> SARA PD backward -> exact vis-space residual,
@@ -649,12 +700,16 @@ def stage_major8k16(rng):
         vi = jax.random.normal(key, (nrow, nchan), jnp.float32) * 0.7 + 0.1
         return vr, vi
 
+    # per-band residual data held bf16 between programs (compute is f32;
+    # 16 bands x 3 state cubes at 8k MUST fit one chip's HBM next to the
+    # 12288^2 FFT transients — measured f32-resident OOM)
+    tobf = jax.jit(lambda d: d.astype(jnp.bfloat16))
     dirty = []
     for b in range(nband):
         vr, vi = band_vis(jax.random.PRNGKey(b))
-        dirty.append(vis2dirty_idg(plan_im, vr, wgt=wgt_j, vis_im=vi))
+        dirty.append(tobf(vis2dirty_idg(plan_im, vr, wgt=wgt_j, vis_im=vi)))
     # one scalar fetch times the whole banded grid phase
-    np.asarray(cks(dirty[-1] + dirty[0]))
+    np.asarray(cks((dirty[-1] + dirty[0]).astype(jnp.float32)))
     rec["grid_sec"] = round(time.time() - t0, 1)
     emit("major8k16", rec)  # progress: gridding done
     del pv, psf8k
@@ -669,10 +724,6 @@ def stage_major8k16(rng):
     sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
     lam = jnp.full(1, 1e-3, jnp.float32)
     wgt_g = to_group_layout(plan_im, wgt_j)
-    # device-resident per-band state; updates stored bf16 (CG warm starts
-    # tolerate it, and it keeps the peak under HBM)
-    models = [jnp.zeros((nx, nx), jnp.float32) for _ in range(nband)]
-    updates = [jnp.zeros((nx, nx), jnp.bfloat16) for _ in range(nband)]
     dual0 = jnp.zeros((1, psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
     l1w = jnp.ones((psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
     inv_wsum = float(1.0 / wsum)
@@ -681,6 +732,8 @@ def stage_major8k16(rng):
     # (CG while_loop + PD while_loop + the IDG round trip) exceeds what
     # the tunnel's remote compiler survives (measured: broken pipe after
     # ~25 min); split, each piece compiles in minutes and caches
+    from functools import partial
+
     from jax.tree_util import Partial
 
     from pfb_imaging_tpu.deconv.pfb import _pfb_grad
@@ -692,7 +745,7 @@ def stage_major8k16(rng):
 
     @jax.jit
     def fwd_cg(hess, dirty_b, update_b):
-        res = (dirty_b * inv_wsum)[None]
+        res = (dirty_b.astype(jnp.float32) * inv_wsum)[None]
         u = pcg(Partial(hess_cube_dot, hess), res,
                 x0=update_b.astype(jnp.float32)[None], tol=0.0, maxit=10, minit=10)
         return u
@@ -710,25 +763,40 @@ def stage_major8k16(rng):
         )
         return m[0]
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def resid_up(dirty_b, m, wgt_g):
-        return dirty_b - hessian_vis_idg(plan_im, m, wgt_g=wgt_g)
+        conv = hessian_vis_idg(plan_im, m, wgt_g=wgt_g)
+        return (dirty_b.astype(jnp.float32) - conv).astype(jnp.bfloat16)
 
-    cyc_secs = []
-    for cyc in range(2):
-        t0 = time.time()
-        for b in range(nband):
-            u = fwd_cg(hess, dirty[b], updates[b])
-            updates[b] = u[0].astype(jnp.bfloat16)
-            models[b] = bwd_pd(hess, models[b], u, dual0, l1w, lam)
-            dirty[b] = resid_up(dirty[b], models[b], wgt_g)
-        # one scalar fetch synchronises the cycle
-        np.asarray(cks(models[nband - 1]))
-        cyc_secs.append(time.time() - t0)
-        rec["cycle_secs"] = [round(c, 1) for c in cyc_secs]
-        rec["sec_per_major_cycle"] = round(cyc_secs[-1], 1)
-        rec["model_sum"] = float(np.asarray(cks(sum(models)))[0])
-        emit("major8k16", rec)
+    # band-MAJOR streaming: each band's dirty -> model -> residual chain
+    # is independent here (per-band duals; the production multi-chip
+    # layout couples bands through the sharded PD psum instead), so only
+    # ONE band's solver state is ever resident next to the 8k/10k/12k
+    # FFT transients — the cycle-major order OOMed HBM even with bf16
+    # state. Per-(band, cycle) walls sum into per-cycle times.
+    ncyc = 2
+    cyc_secs = [0.0] * ncyc
+    model_sum = 0.0
+    for b in range(nband):
+        model_b = jnp.zeros((nx, nx), jnp.float32)
+        update_b = jnp.zeros((nx, nx), jnp.bfloat16)
+        for cyc in range(ncyc):
+            t0 = time.time()
+            u = fwd_cg(hess, dirty[b], update_b)
+            update_b = u[0].astype(jnp.bfloat16)
+            model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam)
+            dirty[b] = resid_up(dirty[b], model_b, wgt_g)
+            np.asarray(cks(dirty[b].astype(jnp.float32)))  # sync the chain
+            cyc_secs[cyc] += time.time() - t0
+        model_sum += float(np.asarray(cks(model_b))[0])
+        if b == 0:  # first band carries every compile; report progress
+            rec["band0_secs"] = [round(c, 1) for c in cyc_secs]
+            emit("major8k16", rec)
+        del model_b, update_b, u
+    rec["cycle_secs"] = [round(c, 1) for c in cyc_secs]
+    # steady-state cycle wall = last cycle (compiles land on cycle 1)
+    rec["sec_per_major_cycle"] = round(cyc_secs[-1], 1)
+    rec["model_sum"] = model_sum
     rec["cg_iters"], rec["pd_iters"] = 10, 10
     emit("major8k16", rec)
 
