@@ -74,6 +74,104 @@ def change_phase_dir(vis, uvw, freq, radec_new, radec_ref, phasesign: float = -1
     return vis_new, uvw @ rot.T
 
 
+def format_coords(ra0, dec0):
+    """(ra, dec) in degrees -> sexagesimal ("HHhMMmSS.SSSs", "+DDdMMmSS.SSSs")
+    strings (reference format_coords via astropy SkyCoord to_string)."""
+    ra_h = (float(ra0) % 360.0) / 15.0
+    hh = int(ra_h)
+    mm = int((ra_h - hh) * 60.0)
+    ss = (ra_h - hh - mm / 60.0) * 3600.0
+    if ss > 59.9995:  # carry rounding across the field boundary
+        ss = 0.0
+        mm += 1
+        if mm == 60:
+            mm = 0
+            hh = (hh + 1) % 24
+    hms = f"{hh:02d}h{mm:02d}m{ss:06.3f}s"
+    sgn = "-" if dec0 < 0 else "+"
+    d = abs(float(dec0))
+    dd = int(d)
+    dm = int((d - dd) * 60.0)
+    dsec = (d - dd - dm / 60.0) * 3600.0
+    if dsec > 59.9995:
+        dsec = 0.0
+        dm += 1
+        if dm == 60:
+            dm = 0
+            dd += 1
+    dms = f"{sgn}{dd:02d}d{dm:02d}m{dsec:06.3f}s"
+    return hms, dms
+
+
+def sun_radec(mjd: float):
+    """Geocentric apparent (ra, dec) of the Sun in radians at MJD (UTC days).
+
+    Low-precision solar ephemeris (the Astronomical Almanac's standard
+    formulas): mean longitude + equation-of-centre terms, mean obliquity.
+    Accurate to ~0.01 deg over 1950-2050 — the use case (pointing a solar
+    observation's phase centre at the Sun, reference get_coordinates /
+    solarkat) needs arcminutes. Topocentric parallax (< 8.8 arcsec for the
+    Sun) is below this budget and is not applied.
+    """
+    n = float(mjd) - 51544.5  # days since J2000.0
+    L = np.deg2rad((280.460 + 0.9856474 * n) % 360.0)  # mean longitude
+    g = np.deg2rad((357.528 + 0.9856003 * n) % 360.0)  # mean anomaly
+    lam = L + np.deg2rad(1.915) * np.sin(g) + np.deg2rad(0.020) * np.sin(2 * g)
+    eps = np.deg2rad(23.439 - 0.0000004 * n)  # mean obliquity
+    ra = np.arctan2(np.cos(eps) * np.sin(lam), np.cos(lam)) % (2 * np.pi)
+    dec = np.arcsin(np.sin(eps) * np.sin(lam))
+    return float(ra), float(dec)
+
+
+def get_coordinates(obs_time, obs_lat: float = -30.71323598930457,
+                    obs_lon: float = 21.443001467965008, target: str = "Sun"):
+    """(ra, dec) in radians of a solar-system target at an observation time
+    (reference get_coordinates, utils/astrometry.py:158-177 — the solarkat
+    phase-centre finder; lat/lon default to MeerKAT).
+
+    ``obs_time`` is the weighted mean of the MS TIME column: seconds on the
+    MJD epoch (the factor-86400 convention the reference uses). Only the
+    Sun is implemented (the reference delegates other bodies to astropy's
+    ephemerides, which this self-contained deployment does not carry);
+    geocentric vs topocentric differs by < 8.8 arcsec for the Sun, below
+    the ephemeris' ~0.01 deg budget, so the site arguments are accepted
+    for signature parity but unused.
+    """
+    if target.lower() != "sun":
+        raise NotImplementedError(
+            f"ephemeris target {target!r}: only 'Sun' is supported (the "
+            "reference's other targets come from astropy's solar-system "
+            "ephemerides)"
+        )
+    del obs_lat, obs_lon
+    return sun_radec(float(obs_time) / 86400.0)
+
+
+def uvw_rotate(uvw, ra0, dec0, ra, dec):
+    """Rotate uvw from phase centre (ra0, dec0) to (ra, dec) (reference
+    uvw_rotate, utils/astrometry.py:295-337): the T(new) T(old)^T
+    composition of Thompson/Moran/Swenson ch. 4 transforms, leaving the
+    image tangent at the new delay centre.
+
+    ``uvw`` is (3,) or (nrow, 3); returns the same shape.
+    """
+    uvw = np.asarray(uvw, np.float64)
+    dra = ra - ra0
+    cdr, sdr = np.cos(dra), np.sin(dra)
+    cd0, sd0 = np.cos(dec0), np.sin(dec0)
+    cd1, sd1 = np.cos(dec), np.sin(dec)
+    rot = np.array(
+        [
+            [cdr, sd0 * sdr, -cd0 * sdr],
+            [-sd1 * sdr, sd1 * sd0 * cdr + cd1 * cd0, -cd0 * sd1 * cdr + cd1 * sd0],
+            [cd1 * sdr, -cd1 * sd0 * cdr + sd1 * cd0, cd1 * cd0 * cdr + sd1 * sd0],
+        ]
+    )
+    if uvw.ndim == 1:
+        return rot @ uvw
+    return uvw @ rot.T
+
+
 def parallactic_angles(times, ra: float, dec: float, longitude: float = 21.443, latitude: float = -30.713):
     """Parallactic angle per time sample for an alt-az dish
     (reference: africanus parallactic_angles via utils/beam.py:58-61;

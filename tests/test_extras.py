@@ -132,3 +132,59 @@ def test_fsclark_recovers_polarised_source():
     model = np.asarray(model)
     assert model[:, 0, 16, 16].sum() == pytest.approx(2.0, rel=0.15)
     assert model[:, 1, 16, 16].sum() == pytest.approx(0.6, rel=0.25)
+
+
+def test_sun_ephemeris_known_positions():
+    """Low-precision solar ephemeris vs known events (reference
+    get_coordinates, utils/astrometry.py:158-177). MJDs: 2026-03-20
+    equinox ~14:46 UT, 2026-06-21 solstice ~08:25 UT."""
+    from pfb_imaging_tpu.utils.astrometry import get_coordinates, sun_radec
+
+    ra, dec = sun_radec(61119.6153)  # 2026 March equinox
+    assert abs(dec) < np.deg2rad(0.05)
+    assert min(ra, 2 * np.pi - ra) < np.deg2rad(0.3)
+    ra, dec = sun_radec(61212.3507)  # 2026 June solstice
+    assert dec == pytest.approx(np.deg2rad(23.436), abs=np.deg2rad(0.05))
+    assert ra == pytest.approx(np.pi / 2, abs=np.deg2rad(0.3))
+    # MS-TIME (seconds) entry point
+    ra2, dec2 = get_coordinates(61212.3507 * 86400.0)
+    assert (ra2, dec2) == (ra, dec)
+    with pytest.raises(NotImplementedError):
+        get_coordinates(0.0, target="Moon")
+
+
+def test_format_coords():
+    from pfb_imaging_tpu.utils.astrometry import format_coords
+
+    hms, dms = format_coords(15.0, -30.5)
+    assert hms == "01h00m00.000s"
+    assert dms == "-30d30m00.000s"
+    hms, dms = format_coords(359.999999, 10.999999)
+    assert hms == "24h00m00.000s" or hms == "00h00m00.000s"
+    assert dms.startswith("+11d00m00.000") or dms.startswith("+10d59m59.99")
+
+
+def test_uvw_rotate_orthogonal_and_identity():
+    """uvw_rotate (reference utils/astrometry.py:295-337): identity when
+    the centre is unchanged; length-preserving (orthogonal); consistent
+    with synthesize_uvw under a small phase-centre shift."""
+    from pfb_imaging_tpu.utils.astrometry import synthesize_uvw, uvw_rotate
+
+    rng = np.random.default_rng(3)
+    uvw = rng.standard_normal((50, 3)) * 1e3
+    ra0, dec0 = 0.8, -0.6
+    same = uvw_rotate(uvw, ra0, dec0, ra0, dec0)
+    np.testing.assert_allclose(same, uvw, atol=1e-9)
+    rot = uvw_rotate(uvw, ra0, dec0, ra0 + 0.01, dec0 - 0.02)
+    np.testing.assert_allclose(
+        np.linalg.norm(rot, axis=1), np.linalg.norm(uvw, axis=1), rtol=1e-12
+    )
+    # against uvw synthesis: rotating synthesized uvw to a nearby centre
+    # must match uvw synthesized directly at that centre
+    antpos = rng.standard_normal((5, 3)) * 200.0
+    a1, a2 = np.triu_indices(5, 1)
+    times = np.full(a1.size, 1234.5)
+    ra1 = ra0 + 3e-4
+    u0 = synthesize_uvw(antpos, times, a1, a2, ra0, dec0)
+    u1 = synthesize_uvw(antpos, times, a1, a2, ra1, dec0)
+    np.testing.assert_allclose(uvw_rotate(u0, ra0, dec0, ra1, dec0), u1, atol=2e-4 * np.abs(u1).max())
