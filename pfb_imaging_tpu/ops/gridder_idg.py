@@ -1349,7 +1349,7 @@ def _cplx(re, im):
 def _crop(plan, big):
     px0 = plan.nbig_x // 2 - plan.nx // 2
     py0 = plan.nbig_y // 2 - plan.ny // 2
-    return big[px0 : px0 + plan.nx, py0 : py0 + plan.ny]
+    return big[..., px0 : px0 + plan.nx, py0 : py0 + plan.ny]
 
 
 def _pad(plan, img):
@@ -1460,21 +1460,20 @@ def _screen(plan, ah, al, sign, dtype):
 
 
 def _fold_extended(plan, out):
-    """Periodic fold of the (ext_u, ext_v) extended array onto the big
-    grid (absolute cell of extended index t is t - k0_off)."""
-    r = plan.S // plan.half
-    ext_u = (plan.nbu + r - 1) * plan.half
-    ext_v = (plan.nbv + r - 1) * plan.half
+    """Periodic fold of the (..., ext_u, ext_v) extended array onto the
+    big grid (absolute cell of extended index t is t - k0_off); leading
+    batch dimensions pass through (the batched all-bins path)."""
+    ext_u, ext_v = _ext_dims(plan)
     ko = plan.k0_off
     nbx, nby = plan.nbig_x, plan.nbig_y
-    fu = out[ko : ko + nbx, :]
-    fu = fu.at[nbx - ko :, :].add(out[:ko, :])
+    fu = out[..., ko : ko + nbx, :]
+    fu = fu.at[..., nbx - ko :, :].add(out[..., :ko, :])
     if ext_u - nbx - ko > 0:
-        fu = fu.at[: ext_u - nbx - ko, :].add(out[ko + nbx :, :])
-    fv = fu[:, ko : ko + nby]
-    fv = fv.at[:, nby - ko :].add(fu[:, :ko])
+        fu = fu.at[..., : ext_u - nbx - ko, :].add(out[..., ko + nbx :, :])
+    fv = fu[..., :, ko : ko + nby]
+    fv = fv.at[..., :, nby - ko :].add(fu[..., :, :ko])
     if ext_v - nby - ko > 0:
-        fv = fv.at[:, : ext_v - nby - ko].add(fu[:, ko + nby :])
+        fv = fv.at[..., :, : ext_v - nby - ko].add(fu[..., :, ko + nby :])
     return fv
 
 
@@ -1838,6 +1837,138 @@ def _bin_classes(plan):
     return out
 
 
+# ── batched (all-bins-in-one-program) accumulate / extract ──────────
+# The per-size-class lax.scan bodies bound COMPILE time on many-bin
+# plans, but at runtime they serialise the per-plane scatter/matmul/FFT
+# chain and re-gather (nb, 2, cap, S, S) patch copies per class. When
+# the dense batched buffers fit HBM, ONE program covers every bin: a
+# single global scatter into the (nbins x lattice) origin buffer,
+# batched quarter matmuls, one batched iFFT, and stacked screens — the
+# wide-field wplanes accumulate phase runs ~2x faster (docs/perf.md).
+
+_BATCH_ACCUM_BYTES = 5 << 30  # peak temp budget for the batched path
+# skip when the dense nbins*lattice rows dwarf the occupied groups
+# (sparse many-bin chirp plans: the compact per-class scan wins)
+_BATCH_LATTICE_FACTOR = 4
+
+
+def _batched_bins_ok(plan) -> bool:
+    if plan.nbins <= 1:
+        return False
+    rows = plan.nbins * plan.nbu * plan.nbv
+    if rows > _BATCH_LATTICE_FACTOR * plan.ngroups:
+        return False
+    itemsize = 4 if plan.nm1.dtype == jnp.float32 else 8
+    est = (
+        # origin scatter buffer + bf16 splits + blocked L (re+im planes)
+        rows * plan.S * plan.S * itemsize * 2 * 3.5
+        # extended planes + complex grid + shifted copy
+        + plan.nbins * plan.nbig_x * plan.nbig_y * itemsize * 8
+    )
+    return est <= _BATCH_ACCUM_BYTES
+
+
+def _bidg_trash(plan):
+    """(ng,) global scatter rows bin*latt + bid; padding groups (beyond
+    the per-bin ranges) route to the one trash row ``nbins*latt``.
+    Built at trace time from the plan's static bin ranges."""
+    latt = plan.nbu * plan.nbv
+    used = sum(plan.bin_gcount)
+    bog = np.zeros(used, np.int64)
+    for b in range(plan.nbins):
+        gs, gc = plan.bin_gstart[b], plan.bin_gcount[b]
+        bog[gs : gs + gc] = b * latt
+    bidg = jnp.asarray(bog, plan.bid.dtype) + plan.bid[:used]
+    pad = jnp.full((plan.ngroups - used,), plan.nbins * latt, plan.bid.dtype)
+    return jnp.concatenate([bidg, pad])
+
+
+def _screens_stack(plan, sign, cdt):
+    """(nbins, nx, ny) per-bin w screens (static unroll: nbins is small
+    whenever the batched path is chosen)."""
+    return jnp.stack(
+        [_screen(plan, *_wc_pair(plan, b), sign, cdt) for b in range(plan.nbins)]
+    )
+
+
+def _assemble_bins_batched(plan, patches):
+    """All bins' big grids in one program: global scatter -> batched
+    quarter matmuls -> batched unblock/fold. Returns (nbins, nbig_x,
+    nbig_y) complex. Identical sums to the per-bin dense path."""
+    S, half = plan.S, plan.half
+    r = S // half
+    nbu, nbv = plan.nbu, plan.nbv
+    latt = nbu * nbv
+    nb = plan.nbins
+    R_u, R_v = _blk_dims(plan)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    rdt = patches.dtype
+    bidg = _bidg_trash(plan)
+    # ONE scatter for both re/im planes: rows c*(nb*latt+1) + bidg
+    flat = patches.reshape(2 * plan.ngroups, S * S)
+    idx2 = jnp.concatenate([bidg, bidg + (nb * latt + 1)])
+    orig2 = jnp.zeros((2 * (nb * latt + 1), S * S), rdt).at[idx2].add(flat)
+    orig = orig2.reshape(2, nb * latt + 1, S * S)[:, : nb * latt].reshape(2 * nb * latt, S * S)
+    split = _split3_bf16(orig) if (rdt == jnp.float32 and on_tpu) else None
+    L = jnp.zeros((2, nb, R_u, R_v, half * half), rdt)
+    for a in range(r):
+        for b in range(r):
+            sel = _sel_quarter(S, half, a, b, jnp.bfloat16)
+            q = (_mm_onehot_pre(split, sel) if split is not None
+                 else _MM(orig, sel.astype(rdt)))
+            q = q.reshape(2, nb, nbu, nbv, half * half)
+            L = L.at[:, :, a : a + nbu, b : b + nbv, :].add(q)
+    # unblock: ext[..., t_u*half + su, :] = L[..., t_u, :, su*half:(su+1)*half]
+    D = jnp.stack([L[..., su * half : (su + 1) * half].reshape(2, nb, R_u, R_v * half) for su in range(half)])
+    ext = jnp.transpose(D, (1, 2, 3, 0, 4)).reshape(2, nb, R_u * half, R_v * half)
+    ext = _fold_extended(plan, ext)
+    return _cplx(ext[0], ext[1])
+
+
+def _extract_bins_batched(plan, grids):
+    """Transpose of :func:`_assemble_bins_batched`: (nbins, nbig_x,
+    nbig_y) complex grids -> (2, ng, S, S) patches in GLOBAL group order
+    (one row-gather; no per-class scatter-back)."""
+    S, half = plan.S, plan.half
+    r = S // half
+    ko = plan.k0_off
+    nbx, nby = plan.nbig_x, plan.nbig_y
+    nbu, nbv = plan.nbu, plan.nbv
+    latt = nbu * nbv
+    nb = plan.nbins
+    ext_u, ext_v = _ext_dims(plan)
+    R_u, R_v = _blk_dims(plan)
+    rdt = plan.phase_re.dtype
+    on_tpu = jax.devices()[0].platform != "cpu"
+    fu = jnp.concatenate(
+        [grids[..., nbx - ko :, :], grids]
+        + ([grids[..., : ext_u - nbx - ko, :]] if ext_u - nbx - ko > 0 else []),
+        axis=-2,
+    )
+    out = jnp.concatenate(
+        [fu[..., :, nby - ko :], fu]
+        + ([fu[..., :, : ext_v - nby - ko]] if ext_v - nby - ko > 0 else []),
+        axis=-1,
+    )
+    bidg = _bidg_trash(plan)
+    planes = []
+    for arr in (jnp.real(out).astype(rdt), jnp.imag(out).astype(rdt)):
+        O3 = jnp.moveaxis(arr.reshape(nb, R_u, half, R_v * half), 2, 0)
+        L = jnp.zeros((nb, R_u, R_v, half * half), rdt)
+        for su in range(half):
+            L = L.at[..., su * half : (su + 1) * half].set(O3[su].reshape(nb, R_u, R_v, half))
+        acc = jnp.zeros((nb * latt, S * S), rdt)
+        for a in range(r):
+            for b in range(r):
+                q = L[:, a : a + nbu, b : b + nbv, :].reshape(nb * latt, half * half)
+                selT = _sel_quarter(S, half, a, b, jnp.bfloat16).T
+                acc = acc + (_mm_onehot(q, selT) if rdt == jnp.float32 and on_tpu
+                             else _MM(q, selT.astype(rdt)))
+        accP = jnp.concatenate([acc, jnp.zeros((1, S * S), rdt)])
+        planes.append(accP[bidg].reshape(plan.ngroups, S, S))
+    return jnp.stack(planes)
+
+
 @jax.jit
 def _idg_accumulate_bins(plan: IDGPlan, patches):
     """Sum per-bin images: windowed scatter -> fold -> iFFT -> screen.
@@ -1848,6 +1979,13 @@ def _idg_accumulate_bins(plan: IDGPlan, patches):
     sentinel-padded group windows — compile time stays bounded on
     wide-field plans with hundreds of w-bins."""
     cdt = jnp.complex64 if patches.dtype == jnp.float32 else jnp.complex128
+    if _batched_bins_ok(plan):
+        grids = _assemble_bins_batched(plan, patches)
+        big = jnp.fft.ifft2(grids) * (plan.nbig_x * plan.nbig_y)
+        a = _crop(plan, jnp.fft.fftshift(big, axes=(-2, -1)))
+        if plan.do_wgridding:
+            a = a * _screens_stack(plan, -1.0, cdt)
+        return a.sum(0)
     acc = None
     if plan.nbins <= _UNROLL_BINS:
         for b in range(plan.nbins):
@@ -1995,6 +2133,14 @@ def _idg_bins_to_grid_patches(plan: IDGPlan, image):
     cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
     corr = _cplx(plan.corr_re, plan.corr_im)
     y = image.astype(rdt).astype(cdt) * jnp.conj(corr)
+    if _batched_bins_ok(plan):
+        yb = y[None] * _screens_stack(plan, 1.0, cdt) if plan.do_wgridding else y[None]
+        px0 = plan.nbig_x // 2 - plan.nx // 2
+        py0 = plan.nbig_y // 2 - plan.ny // 2
+        padded = jnp.zeros((plan.nbins, plan.nbig_x, plan.nbig_y), cdt)
+        padded = padded.at[:, px0 : px0 + plan.nx, py0 : py0 + plan.ny].set(yb)
+        grids = jnp.fft.fft2(jnp.fft.ifftshift(padded, axes=(-2, -1)))
+        return _extract_bins_batched(plan, grids)
     if plan.nbins <= _UNROLL_BINS_FWD:
         patches = None
         for b in range(plan.nbins):

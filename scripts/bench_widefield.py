@@ -92,8 +92,20 @@ def main():
     img = rng.standard_normal((nx, nx)).astype(np.float32)
     imgs = [jnp.asarray(img + 0.01 * i) for i in range(NREP)]
 
-    for mode, factor in (("compact", gi._COMPACT_FACTOR), ("dense", 0)):
-        gi._COMPACT_FACTOR = factor
+    batched_gate = gi._batched_bins_ok
+
+    def _no_batch(p):
+        return False
+
+    for mode in ("batched", "compact", "dense"):
+        if mode == "batched":
+            gi._batched_bins_ok = batched_gate
+            if not batched_gate(plan):
+                emit("vis2dirty_batched", {"skipped": "gate rejects this plan"})
+                continue
+        else:
+            gi._batched_bins_ok = _no_batch
+            gi._COMPACT_FACTOR = gi._COMPACT_FACTOR if mode == "compact" else 0
         jax.clear_caches()
         tg = timed(lambda i: gi.vis2dirty_idg(plan, vre[i], vis_im=vim[i]))
         emit(f"vis2dirty_{mode}", {"ms": round(tg * 1e3, 1),
@@ -101,6 +113,27 @@ def main():
         td = timed(lambda i: gi.dirty2vis_idg(plan, imgs[i], split=True))
         emit(f"dirty2vis_{mode}", {"ms": round(td * 1e3, 1),
                                    "mvis_per_s": round(nvis / td / 1e6, 1)})
+    gi._batched_bins_ok = batched_gate
+
+    # phase breakdown (batched path): prepare gather / eval / accumulate
+    jax.clear_caches()
+    prep = jax.jit(lambda vr_, vi_: gi._idg_prepare(plan, vr_, vi_, None, None))
+    tp = timed(lambda i: prep(vre[i], vim[i])[0])
+    vals = [prep(vre[i], vim[i]) for i in range(NREP)]
+    ev = jax.jit(lambda v: gi._idg_patches_uv(plan, v))
+    te = timed(lambda i: ev(vals[i])[0])
+    pats = [ev(vals[i]) for i in range(NREP)]
+    ac = jax.jit(lambda p: gi._idg_accumulate_bins(plan, p).real)
+    ta = timed(lambda i: ac(pats[i]))
+    emit("phases", {"prepare_ms": round(tp * 1e3, 1), "eval_ms": round(te * 1e3, 1),
+                    "accumulate_ms": round(ta * 1e3, 1)})
+
+    # production residual path: grouped round trip (zero gathers)
+    wgt = jnp.asarray(rng.uniform(0.5, 1.5, (nrow, nchan)).astype(np.float32))
+    wgt_g = gi.to_group_layout(plan, wgt)
+    th = timed(lambda i: gi.hessian_vis_idg(plan, imgs[i], wgt_g=wgt_g))
+    emit("hessian_grouped", {"ms": round(th * 1e3, 1),
+                             "mvis_per_s_roundtrip": round(nvis / th / 1e6, 1)})
 
 
 if __name__ == "__main__":

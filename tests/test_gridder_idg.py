@@ -427,3 +427,41 @@ def test_idg_slot_budget_dense_ok(rng):
     d = np.asarray(vis2dirty_idg(plan, jnp.asarray(vis)))
     do = np.asarray(vis2dirty_dft(jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(vis), **kw))
     assert np.abs(d - do).max() / np.abs(do).max() < TOL
+
+
+def test_idg_batched_bins_matches_per_bin_paths(rng):
+    """The all-bins-in-one-program accumulate/extract (round 4:
+    _assemble_bins_batched/_extract_bins_batched — one global scatter,
+    batched quarter matmuls, one batched iFFT) must reproduce the
+    per-bin unrolled/scan paths EXACTLY (identical sums, reordered)."""
+    import pfb_imaging_tpu.ops.gridder_idg as gi
+
+    uvw, freq, vis, kw = _wide_w_problem(rng)
+    img = rng.standard_normal((kw["nx"], kw["ny"]))
+
+    def _force(val):
+        gi._batched_bins_ok = lambda p: val
+        for f in (gi._idg_accumulate_bins, gi._vis2dirty_idg_impl,
+                  gi._idg_bins_to_grid_patches, gi._dirty2vis_idg_impl):
+            f._clear_cache()
+
+    orig = gi._batched_bins_ok
+    try:
+        for w_mode, dt in (("wplanes", np.float32), ("wplanes", np.float64), ("chirp", np.float32)):
+            plan = plan_idg(uvw, freq, epsilon=1e-5, do_wgridding=True,
+                            w_mode=w_mode, dtype=dt, **kw)
+            assert plan.nbins > 1
+            _force(True)
+            d_new = np.asarray(vis2dirty_idg(plan, jnp.asarray(vis)))
+            v_new = np.asarray(dirty2vis_idg(plan, jnp.asarray(img)))
+            _force(False)
+            d_old = np.asarray(vis2dirty_idg(plan, jnp.asarray(vis)))
+            v_old = np.asarray(dirty2vis_idg(plan, jnp.asarray(img)))
+            tol = 1e-6 if dt == np.float32 else 1e-13
+            assert np.abs(d_new - d_old).max() <= tol * np.abs(d_old).max()
+            assert np.abs(v_new - v_old).max() <= tol * np.abs(v_old).max()
+    finally:
+        gi._batched_bins_ok = orig
+        for f in (gi._idg_accumulate_bins, gi._vis2dirty_idg_impl,
+                  gi._idg_bins_to_grid_patches, gi._dirty2vis_idg_impl):
+            f._clear_cache()
