@@ -201,102 +201,6 @@ void fill_groups(const int64_t* order, const int64_t* starts, const int64_t* cou
   }
 }
 
-// ── wplanes IDG plan core (gridder_idg.py plan_idg w_support > 1) ───
-//
-// Improved w-stacking: each visibility lands on Ws adjacent w-planes
-// with ES-kernel weights. The numpy branch materialises 6+ per-replica
-// arrays (nvis * Ws entries — 76M slots on the round-3 wide-field
-// layout, 93.5 s of planning); here the per-visibility pass computes
-// per-replica KEYS only, the counting sort runs on the replica stream,
-// and the group fill evaluates the ES weight + plane-offset phase
-// per-slot in one OpenMP pass.
-
-// Per-visibility coordinates + per-replica bucket keys.
-//   i0 = clip(floor((w - w0)/dw - Ws/2) + 1, 0, max(nbins - Ws, 0))
-//   key[i*Ws + j] = ((i0[i] + j) * nbu + bu) * nbv + bv
-void idg_wplane_coords(const double* uvw, const double* invlam, int64_t nrow, int64_t nchan,
-                       double su, double sv, double sw, double cux, double cvy,
-                       double l0, double m0,
-                       double w0, double dw, int64_t Ws, int64_t nbins,
-                       int64_t nbig_x, int64_t nbig_y, int64_t half,
-                       int64_t nbu, int64_t nbv, int64_t k0_off,
-                       int64_t* key, int64_t* i0_out, double* du, double* dv,
-                       double* wlam, double* ph_re, double* ph_im) {
-  const int64_t i0max = nbins - Ws > 0 ? nbins - Ws : 0;
-#pragma omp parallel for schedule(static)
-  for (int64_t r = 0; r < nrow; ++r) {
-    const double u3 = su * uvw[r * 3], v3 = sv * uvw[r * 3 + 1], w3 = sw * uvw[r * 3 + 2];
-    for (int64_t c = 0; c < nchan; ++c) {
-      const int64_t i = r * nchan + c;
-      const double il = invlam[c];
-      const double u_l = u3 * il, v_l = v3 * il, w_l = w3 * il;
-      double um = std::fmod(u_l * cux, (double)nbig_x);
-      if (um < 0) um += (double)nbig_x;
-      double vm = std::fmod(v_l * cvy, (double)nbig_y);
-      if (vm < 0) vm += (double)nbig_y;
-      int64_t bu = (int64_t)(um / (double)half);
-      if (bu > nbu - 1) bu = nbu - 1;
-      int64_t bv = (int64_t)(vm / (double)half);
-      if (bv > nbv - 1) bv = nbv - 1;
-      du[i] = um - (double)(bu * half - k0_off);
-      dv[i] = vm - (double)(bv * half - k0_off);
-      wlam[i] = w_l;
-      int64_t i0 = (int64_t)std::floor((w_l - w0) / dw - (double)Ws / 2.0) + 1;
-      if (i0 < 0) i0 = 0;
-      if (i0 > i0max) i0 = i0max;
-      i0_out[i] = i0;
-      const double ph = -2.0 * M_PI * (u_l * (-l0) + v_l * m0);
-      if (ph != 0.0) {
-        ph_re[i] = std::cos(ph);
-        ph_im[i] = std::sin(ph);
-      } else {
-        ph_re[i] = 1.0;
-        ph_im[i] = 0.0;
-      }
-      const int64_t base = (i0 * nbu + bu) * nbv + bv;
-      for (int64_t j = 0; j < Ws; ++j) key[i * Ws + j] = base + j * nbu * nbv;
-    }
-  }
-}
-
-// Group fill for the replica stream (f32 payload — the production device
-// dtype; f64 plans keep the numpy spec path). Replica rep = i*Ws + j of
-// visibility i covers plane i0[i] + j; its per-slot factor is the ES
-// w-kernel weight phi(2 dwp / (Ws dw)) times the z0-recentred offset
-// phase e^{2 pi i dwp z0}, dwp = w - w_plane (gridder_idg.py wplanes
-// branch), folded with the per-vis phase-centre shift.
-void fill_groups_wplanes(const int64_t* order, const int64_t* starts, const int64_t* counts,
-                         const int64_t* gbase, int64_t noccup, int64_t G, int64_t Ws,
-                         const int64_t* i0, const double* du, const double* dv,
-                         const double* wlam, const double* ph_re, const double* ph_im,
-                         double w0, double dw, double z0, double beta,
-                         int32_t* cg_idx, double* du_g, double* dv_g,
-                         float* phre_g, float* phim_g, int64_t* rep_pos) {
-  const double kx = 2.0 / ((double)Ws * dw);
-#pragma omp parallel for schedule(dynamic, 64)
-  for (int64_t r = 0; r < noccup; ++r) {
-    const int64_t s = starts[r], c = counts[r], gb = gbase[r];
-    for (int64_t t = 0; t < c; ++t) {
-      const int64_t rep = order[s + t];
-      const int64_t vis = rep / Ws;
-      const int64_t pl = i0[vis] + rep % Ws;
-      const int64_t slot = (gb + t / G) * G + (t % G);
-      const double dwp = wlam[vis] - (w0 + (double)pl * dw);
-      const double x = dwp * kx;
-      const double x2 = x * x;
-      const double kern = x2 < 1.0 ? std::exp(beta * (std::sqrt(1.0 - x2) - 1.0)) : 0.0;
-      const double ang = 2.0 * M_PI * dwp * z0;
-      const double zr = kern * std::cos(ang), zi = kern * std::sin(ang);
-      cg_idx[slot] = (int32_t)vis;
-      du_g[slot] = du[vis];
-      dv_g[slot] = dv[vis];
-      phre_g[slot] = (float)(ph_re[vis] * zr - ph_im[vis] * zi);
-      phim_g[slot] = (float)(ph_re[vis] * zi + ph_im[vis] * zr);
-      rep_pos[rep] = slot;
-    }
-  }
-}
-
 // ── uv-counts / Briggs weighting host kernels (ops/weighting.py) ────
 //
 // The XLA scatter-add form of compute_counts serialises on TPU (~us per

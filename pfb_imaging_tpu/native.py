@@ -59,29 +59,8 @@ def _build_and_load():
     lib.fill_groups.argtypes = (
         [i64p] * 4 + [ctypes.c_int64] * 2 + [f64p] * 6 + [i64p] + [f64p] * 6 + [i64p]
     )
-    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
-    f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
     lib.counts_nn.argtypes = [f64p] * 4 + [ctypes.c_int64] * 5 + [ctypes.c_double] * 5 + [f64p]
     lib.weights_from_counts.argtypes = [f64p] * 4 + [ctypes.c_int64] * 5 + [ctypes.c_double] * 5 + [f64p]
-    lib.idg_wplane_coords.argtypes = (
-        [f64p] * 2
-        + [ctypes.c_int64] * 2
-        + [ctypes.c_double] * 9
-        + [ctypes.c_int64] * 8
-        + [i64p] * 2
-        + [f64p] * 5
-    )
-    lib.fill_groups_wplanes.argtypes = (
-        [i64p] * 4
-        + [ctypes.c_int64] * 3
-        + [i64p]
-        + [f64p] * 5
-        + [ctypes.c_double] * 4
-        + [i32p]
-        + [f64p] * 2
-        + [f32p] * 2
-        + [i64p]
-    )
     _LIB = lib
     return lib
 
@@ -212,74 +191,6 @@ def weights_from_counts(counts, uvw, freq, mask, wgt, nx, ny, cellx, celly,
         float(cellx), float(celly), float(usign), float(vsign), float(inv_c), out,
     )
     return out
-
-
-def idg_wplane_group(uvw, invlam, signs, cux, cvy, l0, m0, nbins, w0, dw, Ws,
-                     nbig_x, nbig_y, half, nbu, nbv, k0_off):
-    """Fused wplanes bucketing: per-vis coords + per-replica keys + the
-    counting sort over the replica stream (native only; plan_idg falls
-    back to its numpy spec path when unavailable). Returns
-    (order, uniq, starts, counts, payload) — see
-    native/plan_kernels.cpp:idg_wplane_coords.
-    """
-    lib = _build_and_load()
-    if lib is None:
-        return None
-    nkeys = nbins * nbu * nbv
-    if nkeys > (1 << 27):
-        return None  # histogram too large; numpy argsort path instead
-    nrow, nchan = uvw.shape[0], invlam.shape[0]
-    n = nrow * nchan
-    su, sv, sw = signs
-    c = np.ascontiguousarray
-    key = np.empty(n * Ws, np.int64)
-    i0 = np.empty(n, np.int64)
-    du = np.empty(n)
-    dv = np.empty(n)
-    wlam = np.empty(n)
-    ph_re = np.empty(n)
-    ph_im = np.empty(n)
-    lib.idg_wplane_coords(
-        c(uvw, dtype=np.float64), c(invlam, dtype=np.float64), nrow, nchan,
-        float(su), float(sv), float(sw), float(cux), float(cvy), float(l0), float(m0),
-        float(w0), float(dw), Ws, nbins, nbig_x, nbig_y, half, nbu, nbv, k0_off,
-        key, i0, du, dv, wlam, ph_re, ph_im,
-    )
-    nrep = n * Ws
-    order = np.empty(nrep, np.int64)
-    uniq = np.empty(nrep, np.int64)
-    starts = np.empty(nrep, np.int64)
-    counts = np.empty(nrep, np.int64)
-    noccup = ctypes.c_int64(0)
-    lib.key_sort_counts(key, nrep, nkeys, order, uniq, starts, counts, ctypes.byref(noccup))
-    m = noccup.value
-    payload = dict(i0=i0, du=du, dv=dv, wlam=wlam, ph_re=ph_re, ph_im=ph_im)
-    return order, uniq[:m].copy(), starts[:m].copy(), counts[:m].copy(), payload
-
-
-def idg_wplane_fill(order, starts, counts, gbase, G, Ws, ng, nvis, payload,
-                    w0, dw, z0, beta):
-    """Wplanes group fill (native pass; f32 phase payload). Returns
-    (cg_idx, du_g, dv_g, phase_g, rep_pos)."""
-    lib = _build_and_load()
-    noccup = starts.size
-    cg_idx = np.full(ng * G, nvis, np.int32)
-    du_g = np.zeros(ng * G)
-    dv_g = np.zeros(ng * G)
-    phre_g = np.zeros(ng * G, np.float32)
-    phim_g = np.zeros(ng * G, np.float32)
-    rep_pos = np.empty(nvis * Ws, np.int64)
-    c = np.ascontiguousarray
-    lib.fill_groups_wplanes(
-        c(order), c(starts), c(counts), c(gbase, dtype=np.int64), noccup, G, Ws,
-        payload["i0"], payload["du"], payload["dv"], payload["wlam"],
-        payload["ph_re"], payload["ph_im"],
-        float(w0), float(dw), float(z0), float(beta),
-        cg_idx, du_g, dv_g, phre_g, phim_g, rep_pos,
-    )
-    shape = (ng, G)
-    phase_g = phre_g.reshape(shape) + 1j * phim_g.reshape(shape)
-    return cg_idx.reshape(shape), du_g.reshape(shape), dv_g.reshape(shape), phase_g, rep_pos
 
 
 def idg_fill_groups(order, starts, counts, gbase, G, ng, nvis, payload):

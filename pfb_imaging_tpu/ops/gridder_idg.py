@@ -82,6 +82,11 @@ CHIRP_BUDGET = 0.1  # max |image chirp phase| (rad) the taper fit absorbs
 # cost (one dense assembly + big iFFT each, ~14 ms/bin at 1800^2).
 W_RESID_FRACTION = 1.0
 
+# windowed (wplanes) plans: vis packed per gathered row — the TPU gather
+# costs ~10 ns per ROW regardless of width, so 8 vis (16 f32) per row cuts
+# the prepare gather ~8x; window starts are aligned to this width
+_WIN_PACK = 8
+
 
 # ── free-taper separable fit ─────────────────────────────────────────
 
@@ -368,12 +373,19 @@ def _split_f32(a):
         "bid",
         "inv_orig",
         "rep_idx",
+        "win_start",
+        "win_off",
+        "win_len",
+        "sort_idx",
+        "unsort_idx",
         "phase_re",
         "phase_im",
         "corr_re",
         "corr_im",
         "nm1",
         "nm1_lo",
+        "scr_re",
+        "scr_im",
     ],
     meta_fields=[
         "nx",
@@ -398,6 +410,7 @@ def _split_f32(a):
         "onfly",
         "hermitian",
         "w_support",
+        "windowed",
         "zpasses",
         "epsilon",
     ],
@@ -433,6 +446,9 @@ class IDGPlan:
     onfly: bool  # True: A matrices rebuilt per slab at runtime (scal 6-row)
     hermitian: bool  # True: v<0 rows folded; sg carries the conj signs
     w_support: int  # 1 = chirp mode; >1 = w-plane kernel support (wplanes)
+    windowed: bool  # True (wplanes): slots are contiguous WINDOWS of the
+    #                 (bucket, w)-sorted per-vis table — runtime gathers
+    #                 ~ngroups wide rows instead of ngroups*G scalar rows
     zpasses: int  # fused-kernel matmul precision: 3 (eps>=4e-6) or 6
     epsilon: float  # requested accuracy tier (static; see delivered_accuracy)
     # device arrays
@@ -452,12 +468,23 @@ class IDGPlan:
     rep_idx: jnp.ndarray  # (nvis, w_support) flat slot positions of each
     #                       visibility's w-plane replicas (wplanes mode;
     #                       (1, 1) dummy in chirp mode)
+    win_start: jnp.ndarray  # (ng,) int32 window start into the sorted
+    #                         per-vis table, _WIN_PACK-aligned (windowed
+    #                         mode; (1,) dummy)
+    win_off: jnp.ndarray  # (ng,) int32 dead alignment slots at the head
+    win_len: jnp.ndarray  # (ng,) int32 live slots of each window
+    sort_idx: jnp.ndarray  # (nvis,) int32 sorted pos -> original flat idx
+    unsort_idx: jnp.ndarray  # (nvis,) int32 original flat idx -> sorted pos
     phase_re: jnp.ndarray  # (ng, G) forward per-vis phase, group layout
     phase_im: jnp.ndarray
     corr_re: jnp.ndarray  # (nx, ny) complex image correction 1/(Tu Tv) [/n]
     corr_im: jnp.ndarray
     nm1: jnp.ndarray  # (nx, ny) n-1 (exact, for the bin screens)
     nm1_lo: jnp.ndarray  # (nx, ny) f32 split tail of n-1 (zeros in f64)
+    scr_re: jnp.ndarray  # (nbins, nx, ny) cached sign=-1 w screens for
+    #                      the batched multi-bin paths ((1, 1, 1) dummy
+    #                      when uncached; +1 screens are the conjugate)
+    scr_im: jnp.ndarray
 
 
 def _good_multiple(n: int, m: int) -> int:
@@ -507,6 +534,124 @@ def _build_A_matrices(duh, dul, phi, wc_re, wc_im, xc):
         for s in range(0, ng, slab)
     ]
     return jnp.concatenate([r[0] for r in res]), jnp.concatenate([r[1] for r in res])
+
+
+def _window_gather(packed, win_start, G, width):
+    """Gather _WIN_PACK-aligned windows as PACKED wide rows.
+
+    ``packed`` (npack, _WIN_PACK * width): ``_WIN_PACK`` consecutive
+    sorted-table rows of ``width`` fields per packed row. Returns
+    (ng, G, width). The TPU gather costs ~10 ns per ROW regardless of
+    width (docs/perf.md), so packing cuts the window gather ~8x vs
+    per-slot rows; vmapped dynamic_slice was worse still (~1.5 us per
+    slice, measured)."""
+    ng = win_start.shape[0]
+    idx = win_start[:, None] // _WIN_PACK + jax.lax.broadcasted_iota(
+        win_start.dtype, (ng, G // _WIN_PACK), 1
+    )
+    g = packed[idx]  # (ng, G/_WIN_PACK, _WIN_PACK*width) wide-row gather
+    return g.reshape(ng, G, width)
+
+
+@partial(jax.jit, static_argnames=("G", "Ws", "tfac", "beta", "chih", "chil"))
+def _window_slab(packed, i0p, ws_, pg_, wo_, wl_, *, G, Ws, tfac, beta, chih, chil):
+    """One slab of the windowed-plan device finalize: expand the sorted
+    per-VIS table into per-SLOT fused-kernel constants.
+
+    ``packed`` (npack, _WIN_PACK*5) [du, dv, wfrac, ph_re, ph_im] rows and
+    ``i0p`` (npack, _WIN_PACK) are gathered as packed aligned windows; the
+    ES w-kernel weight and the z0-recentring phase are then computed on
+    chip — the work the old layout did on the host over nvis*Ws slots
+    (and shipped through the ~30 MB/s tunnel as ~650 MB of per-slot
+    arrays).
+
+    Precision: ``wfrac`` is stored RELATIVE to the base plane (|wfrac|
+    <= Ws/2 + 1), so the f32 plane offset d = wfrac - (p - i0) carries
+    ~2e-7 abs error; the phase constant chi = 2*pi*dw*z0 arrives as an
+    (hi, lo) split and |chi * d| <= ~2*pi*Ws/(4*sigma_w) by construction,
+    keeping the phase error ~4e-7 rad — below the f32 substrate budget
+    (delivered_accuracy).
+    """
+    rdt = packed.dtype
+    t = _window_gather(packed, ws_, G, 5)
+    it = _window_gather(i0p, ws_, G, 1)[..., 0]
+    k = (pg_[:, None] - it).astype(rdt)
+    d = t[..., 2] - k
+    x = d * rdt.type(2.0 / Ws)
+    x2 = x * x
+    ins = x2 < 1.0
+    es = jnp.where(ins, jnp.exp(beta * (jnp.sqrt(jnp.where(ins, 1.0 - x2, 0.0)) - 1.0)), 0.0)
+    arg = rdt.type(chih) * d + rdt.type(chil) * d
+    cc, ss = jnp.cos(arg), jnp.sin(arg)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ws_.shape[0], G), 1)
+    msk = (lane >= wo_[:, None]) & (lane < (wo_ + wl_)[:, None])
+    w = jnp.where(msk, es, rdt.type(0.0))
+    pr = (t[..., 3] * cc - t[..., 4] * ss) * w
+    pi = (t[..., 3] * ss + t[..., 4] * cc) * w
+    z = jnp.zeros_like(d)
+    mf = msk.astype(rdt)  # dead slots zeroed (matches the host expansion)
+    scal = jnp.stack([rdt.type(tfac) * t[..., 0] * mf, z, rdt.type(tfac) * t[..., 1] * mf, z])
+    return scal, pr, pi
+
+
+def _pack_rows(arr, width, G=128):
+    """(n, width) host array -> (npack, _WIN_PACK*width) packed rows,
+    padded so any G-slot window starting below n stays in bounds."""
+    n = arr.shape[0]
+    npack = -(-n // _WIN_PACK) + G // _WIN_PACK
+    out = np.zeros((npack * _WIN_PACK, width), arr.dtype)
+    out[:n] = arr.reshape(n, width)
+    return out.reshape(npack, _WIN_PACK * width)
+
+
+def _finalize_window_arrays(wtab, win_start, win_off, win_len, plane_g, ng, G,
+                            Ws, tfac, wk_dw, wk_z0, wk_beta, rdt):
+    """Device-side expansion of a windowed plan's per-slot constants.
+
+    Returns (scal (4, ng, G), phase_re, phase_im) as device arrays; the
+    host ships only the (nvis, 5) sorted table + (ng,) window metadata.
+    """
+    rdt = np.dtype(rdt).type
+    nvis = wtab["i0"].size
+    tab = np.zeros((nvis, 5), rdt)
+    tab[:, 0] = wtab["du"]
+    tab[:, 1] = wtab["dv"]
+    tab[:, 2] = wtab["wfrac"]
+    tab[:, 3] = wtab["ph"].real
+    tab[:, 4] = wtab["ph"].imag
+    chi = 2.0 * np.pi * float(wk_dw) * float(wk_z0)
+    if rdt == np.float32:
+        chih, chil = (float(x) for x in _split_f32(chi))
+    else:
+        chih, chil = chi, 0.0
+    tabd = jnp.asarray(_pack_rows(tab, 5))
+    i0d = jnp.asarray(_pack_rows(wtab["i0"].astype(np.int32)[:, None], 1))
+    slab = max(1, (1 << 27) // (5 * G * tab.itemsize))
+    slab = -(-slab // 8) * 8
+    outs = []
+    for s in range(0, ng, slab):
+        e = min(ng, s + slab)
+        n = e - s
+        npad = -(-n // 8) * 8
+        ws_ = np.zeros(npad, np.int32)
+        pg_ = np.zeros(npad, np.int32)
+        wo_ = np.zeros(npad, np.int32)
+        wl_ = np.zeros(npad, np.int32)
+        ws_[:n] = win_start[s:e]
+        pg_[:n] = plane_g[s:e]
+        wo_[:n] = win_off[s:e]
+        wl_[:n] = win_len[s:e]
+        sc, pr, pi = _window_slab(
+            tabd, i0d, jnp.asarray(ws_), jnp.asarray(pg_), jnp.asarray(wo_),
+            jnp.asarray(wl_),
+            G=G, Ws=int(Ws), tfac=float(tfac), beta=float(wk_beta),
+            chih=chih, chil=chil,
+        )
+        outs.append((sc[:, :n], pr[:n], pi[:n]))
+    scal = jnp.concatenate([o[0] for o in outs], axis=1)
+    phs_re = jnp.concatenate([o[1] for o in outs], axis=0)
+    phs_im = jnp.concatenate([o[2] for o in outs], axis=0)
+    return scal, phs_re, phs_im
 
 
 def _check_slot_budget(ng, G, nvis, nbins, max_slot_factor):
@@ -859,6 +1004,14 @@ def plan_idg(
     from ..native import idg_bucket_group, idg_fill_groups
 
     rep_idx = np.zeros((1, 1), np.int64)
+    win_start = np.zeros(1, np.int64)
+    win_off = np.zeros(1, np.int64)
+    win_len = np.zeros(1, np.int64)
+    sort_idx = np.zeros(1, np.int64)
+    unsort_idx = np.zeros(1, np.int64)
+    windowed = w_support > 1
+    plane_g = None
+    wtab = None  # per-vis sorted payload (windowed mode)
     nat = None
     if w_support == 1:
         nat = idg_bucket_group(
@@ -867,59 +1020,29 @@ def plan_idg(
             float(bmsv), float(chiru), float(chirv), nbig_x, nbig_y, half, nbu, nbv,
             k0_off, G,
         )
-    natw = None
-    if w_support > 1 and rdt32:
-        # native fused pass (OpenMP coords + replica keys + counting
-        # sort + ES-weighted fill, native/plan_kernels.cpp) — the numpy
-        # path below is the executable spec it is parity-tested against
-        # (tests/test_native_plan.py) and the f64/fallback path. The
-        # round-3 wide-field layout spent 93.5 s in the numpy branch
-        # (VERDICT #4); the native pass is O(seconds).
-        from ..native import idg_wplane_fill, idg_wplane_group
-
-        natw = idg_wplane_group(
-            uvw, invlam, (su, sv, sw), cux, cvy, l0, m0, nbins,
-            wk_w0, wk_dw, w_support, nbig_x, nbig_y, half, nbu, nbv, k0_off,
-        )
-    if natw is not None:
-        order, uniq, starts, counts, payload = natw
-        Ws = w_support
-        nslots = nvis * Ws
-        gper = -(-counts // G)
-        gbase = np.concatenate([[0], np.cumsum(gper)])
-        ng = int(gbase[-1])
-        bin_u = uniq // (nbu * nbv)
-        bid_u = uniq % (nbu * nbv)
-        bin_gcount = np.zeros(nbins, np.int64)
-        np.add.at(bin_gcount, bin_u, gper)
-        bin_gstart = np.concatenate([[0], np.cumsum(bin_gcount)])[:-1]
-        if count_only:
-            return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi, w_support)
-        _check_slot_budget(ng, G, nslots, nbins, max_slot_factor)
-        eval_backend = _resolve_backend(eval_backend, S, G, rdt32, ng)
-        blk = {"fused": idg_fused_BG(S), "onfly": _ONFLY_SLAB}.get(eval_backend, 1)
-        ng = -(-max(ng, 1) // blk) * blk
-        cg_idx, du_g, dv_g, phase_g, rep_pos = idg_wplane_fill(
-            order, starts, counts, gbase[:-1], G, Ws, ng, nvis, payload,
-            wk_w0, wk_dw, wk_z0, wk_beta,
-        )
-        phiu_g = np.zeros((ng, G), np.float32)  # no chirp: w kernel owns dw
-        phiv_g = np.zeros((ng, G), np.float32)
-        bid_g = np.zeros(ng, np.int64)
-        nfill = int(gper.sum())
-        bid_g[:nfill] = np.repeat(bid_u, gper)
-        rep_idx = rep_pos.reshape(nvis, Ws)
-        inv_orig = np.ascontiguousarray(rep_idx[:, 0])
-    elif w_support > 1:
-        from .gridder import es_kernel
-
+    if windowed:
+        # ── windowed wplanes layout (round 4) ────────────────────────
+        # Sort VISIBILITIES (not replicas) by (bucket, base-plane); the
+        # slots of every (plane, bucket) group are then a CONTIGUOUS
+        # WINDOW of the sorted per-vis table: a vis with base plane i0
+        # touches planes i0..i0+Ws-1, and i0 is monotone in w inside a
+        # bucket, so plane-p membership is the subrange i0 in [p-Ws+1, p].
+        # The runtime gathers ~ngroups G-wide windows (vmapped
+        # dynamic_slice -> one gather of WIDE rows) instead of ngroups*G
+        # scalar rows — the round-4 widefield prepare was ~180 ms of pure
+        # row-gather at 22M slots, ~10 ns/row (docs/perf.md) — and the
+        # degrid transpose becomes a windowed scatter-add. Planning cost
+        # drops with it: the old layout counting-sorted nvis*Ws replica
+        # keys and filled nvis*Ws host slots; this sorts nvis keys and
+        # ships per-VIS tables to the device (~40 MB instead of ~650 MB
+        # through the tunnel), expanding per-slot constants on chip.
         u_l = su * np.multiply.outer(uvw[:, 0], invlam)
         v_l = sv * np.multiply.outer(uvw[:, 1], invlam)
         w_lam = (sw * np.multiply.outer(uvw[:, 2], invlam)).ravel()
         u_pix = (u_l * cux).ravel()
         v_pix = (v_l * cvy).ravel()
         shift_cycles = u_l.ravel() * (-l0) + v_l.ravel() * m0
-        phase_fwd = np.exp(-2j * np.pi * shift_cycles)
+        del u_l, v_l
         um = np.mod(u_pix, nbig_x)
         vm = np.mod(v_pix, nbig_y)
         bu = np.minimum((um // half).astype(np.int64), nbu - 1)
@@ -928,65 +1051,94 @@ def plan_idg(
         # base plane: kernel support covers planes i0..i0+Ws-1
         i0 = np.floor((w_lam - wk_w0) / wk_dw - Ws / 2.0).astype(np.int64) + 1
         i0 = np.clip(i0, 0, max(nbins - Ws, 0))
-        oi = np.repeat(np.arange(nvis, dtype=np.int64), Ws)  # vis of replica
-        pl = (i0[:, None] + np.arange(Ws)[None, :]).ravel()  # plane of replica
         nslots = nvis * Ws
-        key = (pl * nbu + bu[oi]) * nbv + bv[oi]
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        uniq, starts, counts = np.unique(key_s, return_index=True, return_counts=True)
-        gper = -(-counts // G)
+        bkey = bu * nbv + bv
+        order_v = np.lexsort((i0, bkey))
+        bkey_s = bkey[order_v]
+        i0_s = i0[order_v]
+        ub, bstart, bcount = np.unique(bkey_s, return_index=True, return_counts=True)
+        # candidate (bucket, plane) pairs: each bucket spans the planes
+        # its vis touch (may include empty planes between w clusters —
+        # dropped by cnt > 0 below)
+        pl_lo = i0_s[bstart]
+        pl_hi = i0_s[bstart + bcount - 1] + Ws - 1
+        span = (pl_hi - pl_lo + 1).astype(np.int64)
+        npair = int(span.sum())
+        cum = np.concatenate([[0], np.cumsum(span)])
+        pair_bi = np.repeat(np.arange(ub.size), span)
+        pair_p = np.arange(npair) - cum[pair_bi] + pl_lo[pair_bi]
+        # membership windows via ONE global searchsorted over the
+        # composite (bucket, i0) key (sorted by construction)
+        P = nbins + 2 * Ws + 2
+        K = bkey_s * P + (i0_s + Ws)
+        pb = ub[pair_bi] * P
+        lo = np.searchsorted(K, pb + (pair_p + 1), side="left")
+        hi = np.searchsorted(K, pb + (pair_p + Ws), side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        pair_p, lo, cnt = pair_p[keep], lo[keep], cnt[keep]
+        pair_bkey = ub[pair_bi[keep]]
+        # groups ordered by (plane, bucket): bins stay contiguous ranges
+        orig_idx = np.flatnonzero(keep)
+        ord2 = np.lexsort((pair_bkey, pair_p))
+        pair_p, lo, cnt, pair_bkey = pair_p[ord2], lo[ord2], cnt[ord2], pair_bkey[ord2]
+        # windows are aligned DOWN to the pack width so the runtime can
+        # gather (G/_WIN_PACK)-row PACKED windows (wide rows amortise the
+        # ~10 ns/row TPU gather toll; docs/perf.md) — the <= _WIN_PACK-1
+        # dead head slots per (bucket, plane) pair cost ~7% extra groups
+        a0 = (lo // _WIN_PACK) * _WIN_PACK
+        gper = -(-(lo + cnt - a0) // G)
         gbase = np.concatenate([[0], np.cumsum(gper)])
         ng = int(gbase[-1])
-        pos = np.arange(nslots) - np.repeat(starts, counts)
-        bucket_rank = np.repeat(np.arange(uniq.size), counts)
-        g_of = gbase[bucket_rank] + pos // G
-        slot_of = pos % G
-        oi_s = oi[order]
-        # resolve the eval backend NOW and allocate the group arrays at
-        # their FINAL padded size: the fused/onfly block padding would
-        # otherwise re-copy every (ng, G) buffer (~42 s of concatenates
-        # at 76M slots on this host)
-        eval_backend = _resolve_backend(eval_backend, S, G, rdt32, ng)
-        blk = {"fused": idg_fused_BG(S), "onfly": _ONFLY_SLAB}.get(eval_backend, 1)
-        ng = -(-max(ng, 1) // blk) * blk
-        # int32/f32-typed group arrays: the f64 (ng, G) buffers at
-        # wplanes scale (~76M slots) are several GB of host temps
-        cg_idx = np.full((ng, G), nvis, np.int32)
-        cg_idx[g_of, slot_of] = oi_s
-        du_g = np.zeros((ng, G))
-        dv_g = np.zeros((ng, G))
-        phiu_g = np.zeros((ng, G), np.float32)  # no chirp: w kernel owns dw
-        phiv_g = np.zeros((ng, G), np.float32)
-        bu_s = bu[oi_s]
-        bv_s = bv[oi_s]
-        du_g[g_of, slot_of] = um[oi_s] - (bu_s * half - k0_off)
-        dv_g[g_of, slot_of] = vm[oi_s] - (bv_s * half - k0_off)
-        bid_g = np.zeros(ng, np.int64)
-        # sentinel tail groups (the early blk padding) must sort BEYOND
-        # the last plane so the searchsorted ranges exclude them
-        bin_g = np.full(ng, nbins, np.int64)
-        bid_g[g_of] = bu_s * nbv + bv_s
-        bin_g[g_of] = pl[order]
-        bin_gstart = np.searchsorted(bin_g, np.arange(nbins), side="left")
-        bin_gend = np.searchsorted(bin_g, np.arange(nbins), side="right")
-        bin_gcount = bin_gend - bin_gstart
+        bin_gcount = np.zeros(nbins, np.int64)
+        np.add.at(bin_gcount, pair_p, gper)
+        bin_gstart = np.concatenate([[0], np.cumsum(bin_gcount)])[:-1]
         if count_only:
             return nbins, tuple(int(x) for x in bin_gcount), (wlo, whi, w_support)
         _check_slot_budget(ng, G, nslots, nbins, max_slot_factor)
-        # per-slot factor: ES w-kernel weight x the z0-recentred plane
-        # offset phase phi(2 dwp/(Ws dw)) e^{2 pi i dwp z0}, dwp = w - w_p
-        # (the screens then stay the plain e^{2 pi i w_p (n-1)} form and
-        # the image correction divides by the kernel FT at n-1-z0)
-        dwp = w_lam[oi_s] - (wk_w0 + pl[order] * wk_dw)
-        wgt_k = np.asarray(es_kernel(2.0 * dwp / (Ws * wk_dw), wk_beta))
-        cdt_g = np.complex64 if rdt32 else np.complex128
-        phase_g = np.zeros((ng, G), cdt_g)
-        phase_g[g_of, slot_of] = phase_fwd[oi_s] * wgt_k * np.exp(2j * np.pi * dwp * wk_z0)
-        rep_pos = np.empty(nslots, np.int64)
-        rep_pos[order] = g_of * G + slot_of
-        rep_idx = rep_pos.reshape(nvis, Ws)
-        inv_orig = np.ascontiguousarray(rep_idx[:, 0])
+        eval_backend = _resolve_backend(eval_backend, S, G, rdt32, ng)
+        gi_of = np.repeat(np.arange(pair_p.size), gper)
+        k_in = np.arange(ng) - gbase[:-1][gi_of]
+        win_start = a0[gi_of] + k_in * G
+        win_off = np.maximum(lo[gi_of] - win_start, 0)
+        win_len = np.minimum(lo[gi_of] + cnt[gi_of], win_start + G) - np.maximum(
+            lo[gi_of], win_start
+        )
+        bid_g = pair_bkey[gi_of]
+        plane_g = pair_p[gi_of]
+        sort_idx = order_v
+        unsort_idx = np.empty(nvis, np.int64)
+        unsort_idx[order_v] = np.arange(nvis)
+        # per-replica slot map for the degrid transpose: ONE (nvis, Ws)
+        # row gather + sum beats a windowed scatter-add on this runtime
+        # (measured: the scatter serialises, +490 ms at 2M vis)
+        pair_final = np.full(npair, -1, np.int64)
+        pair_final[orig_idx[ord2]] = np.arange(orig_idx.size)
+        bi_j = np.repeat(np.arange(ub.size), bcount)
+        base_pos = cum[bi_j] - pl_lo[bi_j]
+        jj = np.arange(nvis)
+        rep_idx = np.empty((nvis, w_support), np.int64)
+        for wof in range(w_support):
+            pf = pair_final[base_pos + (i0_s + wof)]
+            d = jj - a0[pf]
+            rep_idx[order_v, wof] = (gbase[:-1][pf] + d // G) * G + d % G
+        # ORIGINAL-order per-vis conjugation signs: prepare multiplies
+        # them in before the sort gather; degrid applies them after the
+        # replica sum — both elementwise, no extra gathers
+        sgv = (
+            np.where(np.repeat(fold_row, nchan), -1.0, 1.0)
+            if hermitian
+            else np.ones(nvis)
+        )
+        wtab = dict(
+            du=(um - (bu * half - k0_off))[order_v],
+            dv=(vm - (bv * half - k0_off))[order_v],
+            wfrac=((w_lam - wk_w0) / wk_dw)[order_v] - i0_s,
+            i0=i0_s,
+            ph=np.exp(-2j * np.pi * shift_cycles[order_v]),
+            sgv=sgv,
+        )
+        del u_pix, v_pix, um, vm, bu, bv, bkey, bkey_s, K
     elif nat is not None:
         order, uniq, starts, counts, payload = nat
         gper = -(-counts // G)  # ceil: groups per occupied bucket
@@ -1102,16 +1254,24 @@ def plan_idg(
             out[remap[sel]] = arr[sel]
             return out
 
-        cg_idx = _pad_groups(cg_idx, nvis)
-        du_g = _pad_groups(du_g, 0.0)
-        dv_g = _pad_groups(dv_g, 0.0)
-        phiu_g = _pad_groups(phiu_g, 0.0)
-        phiv_g = _pad_groups(phiv_g, 0.0)
-        phase_g = _pad_groups(phase_g, 0.0)
-        bid_g = _pad_groups(bid_g, 0)
-        inv_orig = remap[inv_orig // G] * G + inv_orig % G
-        if w_support > 1:
+        if windowed:
+            # windowed mode: only per-GROUP metadata to remap (sentinel
+            # groups get win_len 0 -> all-dead slots)
+            win_start = _pad_groups(win_start, 0)
+            win_off = _pad_groups(win_off, 0)
+            win_len = _pad_groups(win_len, 0)
+            bid_g = _pad_groups(bid_g, 0)
+            plane_g = _pad_groups(plane_g, 0)
             rep_idx = remap[rep_idx // G] * G + rep_idx % G
+        else:
+            cg_idx = _pad_groups(cg_idx, nvis)
+            du_g = _pad_groups(du_g, 0.0)
+            dv_g = _pad_groups(dv_g, 0.0)
+            phiu_g = _pad_groups(phiu_g, 0.0)
+            phiv_g = _pad_groups(phiv_g, 0.0)
+            phase_g = _pad_groups(phase_g, 0.0)
+            bid_g = _pad_groups(bid_g, 0)
+            inv_orig = remap[inv_orig // G] * G + inv_orig % G
         ng = new_ng
         bin_gstart = new_start
         bin_gcount = np.asarray(bin_gcap, np.int64)
@@ -1153,13 +1313,20 @@ def plan_idg(
             pad2 = lambda a, fill: np.concatenate(  # noqa: E731
                 [a, np.full((extra,) + a.shape[1:], fill, a.dtype)]
             )
-            cg_idx = pad2(np.asarray(cg_idx), nvis)
-            du_g = pad2(np.asarray(du_g), 0.0)
-            dv_g = pad2(np.asarray(dv_g), 0.0)
-            phiu_g = pad2(np.asarray(phiu_g), 0.0)
-            phiv_g = pad2(np.asarray(phiv_g), 0.0)
-            phase_g = pad2(np.asarray(phase_g), 0.0)
-            bid_g = pad2(np.asarray(bid_g), 0)
+            if windowed:
+                win_start = pad2(np.asarray(win_start), 0)
+                win_off = pad2(np.asarray(win_off), 0)
+                win_len = pad2(np.asarray(win_len), 0)
+                bid_g = pad2(np.asarray(bid_g), 0)
+                plane_g = pad2(np.asarray(plane_g), 0)
+            else:
+                cg_idx = pad2(np.asarray(cg_idx), nvis)
+                du_g = pad2(np.asarray(du_g), 0.0)
+                dv_g = pad2(np.asarray(dv_g), 0.0)
+                phiu_g = pad2(np.asarray(phiu_g), 0.0)
+                phiv_g = pad2(np.asarray(phiv_g), 0.0)
+                phase_g = pad2(np.asarray(phase_g), 0.0)
+                bid_g = pad2(np.asarray(bid_g), 0)
             ng = ng_pad
 
     # Patch-DFT fold: the runtime's per-patch fft2 is absorbed into the A
@@ -1175,7 +1342,42 @@ def plan_idg(
     wcu = W * cu[None, :]
     wcv = W * cv[None, :]
     tfac = 2.0 * np.pi / S
-    if fused:
+    phs_dev = None  # windowed-fused: device-built phase override
+    if windowed and fused:
+        dummy = jnp.zeros((1, 1, 1), rdt)
+        au_re = au_im = av_re = av_im = dummy
+        wcu8 = jnp.asarray(idg_fused.wc_perm_kron(wcu))
+        wcv8 = jnp.asarray(idg_fused.wc_perm_kron(wcv))
+        scal, phs_re_d, phs_im_d = _finalize_window_arrays(
+            wtab, win_start, win_off, win_len, plane_g, ng, G, w_support,
+            tfac, wk_dw, wk_z0, wk_beta, rdt,
+        )
+        phs_dev = (phs_re_d, phs_im_d)
+    elif windowed:
+        # host per-slot expansion: the einsum/onfly spec path (CPU/f64)
+        # shares the windowed runtime but builds the per-slot constants
+        # in numpy at full precision
+        from .gridder import es_kernel
+
+        wpos = np.minimum(win_start[:, None] + np.arange(G), max(nvis - 1, 0))
+        mskw = (np.arange(G)[None, :] >= win_off[:, None]) & (
+            np.arange(G)[None, :] < (win_off + win_len)[:, None]
+        )
+        du_g = np.where(mskw, wtab["du"][wpos], 0.0)
+        dv_g = np.where(mskw, wtab["dv"][wpos], 0.0)
+        phiu_g = np.zeros((ng, G))  # no chirp: w kernel owns dw
+        phiv_g = np.zeros((ng, G))
+        dfr = wtab["wfrac"][wpos] - (plane_g[:, None] - wtab["i0"][wpos])
+        es = np.asarray(es_kernel(2.0 * dfr / w_support, wk_beta))
+        phase_g = np.where(
+            mskw,
+            wtab["ph"][wpos] * es * np.exp(2j * np.pi * (dfr * wk_dw) * wk_z0),
+            0.0,
+        )
+        del wpos, mskw, dfr, es
+    if windowed and fused:
+        pass
+    elif fused:
         dummy = jnp.zeros((1, 1, 1), rdt)
         au_re = au_im = av_re = av_im = dummy
         # row-wise fill: a single np.stack of f64 (ng, G) sources peaks
@@ -1226,7 +1428,11 @@ def plan_idg(
         scal = jnp.zeros((1, 1, 1), jnp.float32)
         wcu8 = wcv8 = jnp.zeros((1, 1, 1), jnp.float32)
 
-    if hermitian:
+    if hermitian and windowed:
+        # per-VIS conjugation signs in sorted order: the windowed prepare
+        # applies them on the (nvis, 2) sorted rows before windowing
+        sg = jnp.asarray(wtab["sgv"].astype(rdt))
+    elif hermitian:
         # per-slot conjugation signs via the group gather (sentinel -> +1)
         sflat = np.ones(nvis + 1, rdt)
         if nvis:
@@ -1253,7 +1459,10 @@ def plan_idg(
 
     idx_t = np.int32
     host = lambda a, t: np.ascontiguousarray(np.asarray(a), dtype=t)  # noqa: E731
-    return IDGPlan(
+    if windowed:
+        cg_idx = np.zeros((1, 1), np.int64)
+        inv_orig = np.zeros(1, np.int64)
+    plan = IDGPlan(
         nx=nx,
         ny=ny,
         nbig_x=nbig_x,
@@ -1276,6 +1485,7 @@ def plan_idg(
         onfly=onfly,
         hermitian=bool(hermitian),
         w_support=int(w_support),
+        windowed=bool(windowed),
         zpasses=int(zpasses),
         epsilon=float(epsilon),
         au_re=jnp.asarray(au_re),
@@ -1290,8 +1500,13 @@ def plan_idg(
         bid=jnp.asarray(host(bid_g, idx_t)),
         inv_orig=jnp.asarray(host(inv_orig, idx_t)),
         rep_idx=jnp.asarray(host(rep_idx, idx_t)),
-        phase_re=jnp.asarray(host(phase_g.real, rdt)),
-        phase_im=jnp.asarray(host(phase_g.imag, rdt)),
+        win_start=jnp.asarray(host(win_start, idx_t)),
+        win_off=jnp.asarray(host(win_off, idx_t)),
+        win_len=jnp.asarray(host(win_len, idx_t)),
+        sort_idx=jnp.asarray(host(sort_idx, idx_t)),
+        unsort_idx=jnp.asarray(host(unsort_idx, idx_t)),
+        phase_re=phs_dev[0] if phs_dev is not None else jnp.asarray(host(phase_g.real, rdt)),
+        phase_im=phs_dev[1] if phs_dev is not None else jnp.asarray(host(phase_g.imag, rdt)),
         corr_re=jnp.asarray(host(corr.real, rdt)),
         corr_im=jnp.asarray(host(corr.imag, rdt)),
         nm1=jnp.asarray(host(nm1, rdt)),
@@ -1300,7 +1515,19 @@ def plan_idg(
             if rdt == np.float32
             else np.zeros_like(nm1)
         ),
+        scr_re=jnp.zeros((1, 1, 1), rdt),
+        scr_im=jnp.zeros((1, 1, 1), rdt),
     )
+    if do_w and nbins > 1 and nbins * nx * ny * np.dtype(rdt).itemsize * 2 <= (256 << 20):
+        # cache the per-bin w screens on device (plan-constant; the
+        # batched accumulate/extract otherwise re-runs nbins * nx * ny
+        # split-precision sincos per call)
+        cdt_s = jnp.complex64 if rdt == np.float32 else jnp.complex128
+        scr = _screens_stack(plan, -1.0, cdt_s)
+        plan = dataclasses.replace(
+            plan, scr_re=jnp.real(scr).astype(rdt), scr_im=jnp.imag(scr).astype(rdt)
+        )
+    return plan
 
 
 def delivered_accuracy(plan: IDGPlan) -> dict:
@@ -1380,6 +1607,25 @@ def _idg_prepare(plan: IDGPlan, vis_re, vis_im, wgt, mask):
         m = mask.astype(rdt).reshape(-1)
         wre = wre * m
         wim = wim * m
+    if plan.windowed:
+        # windowed layout: conjugation signs fold in per-VIS (original
+        # order), ONE per-vis gather into sorted order, then the packed
+        # aligned-window gather (~G/_WIN_PACK rows per group instead of
+        # G — the TPU gather bills per row; docs/perf.md)
+        if plan.hermitian:
+            wim = wim * plan.sg
+        rows = jnp.stack([wre, wim], axis=-1)  # (nvis, 2)
+        srows = rows[plan.sort_idx]
+        nvis = srows.shape[0]
+        npack = -(-nvis // _WIN_PACK) + plan.G // _WIN_PACK
+        packed = jnp.zeros((npack * _WIN_PACK, 2), rdt).at[:nvis].set(srows)
+        g = _window_gather(packed.reshape(npack, _WIN_PACK * 2), plan.win_start, plan.G, 2)
+        # dead slots (alignment head / beyond win_len / sentinel groups)
+        # carry zero phase
+        pre, pim = plan.phase_re, plan.phase_im
+        vre = g[..., 0] * pre + g[..., 1] * pim
+        vim = g[..., 1] * pre - g[..., 0] * pim
+        return jnp.stack([vre, vim])
     rows = jnp.stack([wre, wim], axis=-1)  # (nvis, 2)
     rows = jnp.concatenate([rows, jnp.zeros((1, 2), rdt)])
     g = rows[plan.cg_idx]  # (ng, G, 2) single row-gather
@@ -1885,7 +2131,13 @@ def _bidg_trash(plan):
 
 def _screens_stack(plan, sign, cdt):
     """(nbins, nx, ny) per-bin w screens (static unroll: nbins is small
-    whenever the batched path is chosen)."""
+    whenever the batched path is chosen). Served from the plan's cached
+    stack when present (scr_* hold the sign=-1 screens; +1 is the
+    conjugate) — the Dekker/Cody-Waite sincos per plane per call is
+    plan-constant work (~nbins * nx * ny transcendentals)."""
+    if plan.scr_re.shape == (plan.nbins, plan.nx, plan.ny):
+        im = plan.scr_im if sign < 0 else -plan.scr_im
+        return _cplx(plan.scr_re, im).astype(cdt)
     return jnp.stack(
         [_screen(plan, *_wc_pair(plan, b), sign, cdt) for b in range(plan.nbins)]
     )
@@ -2227,13 +2479,18 @@ def _dirty2vis_idg_impl(plan: IDGPlan, image, mask):
     rdt = plan.phase_re.dtype
     vals = dirty2vis_idg_grouped(plan, image)
     V = _cplx(vals[0], vals[1]) * _cplx(plan.phase_re, plan.phase_im)
-    vim_out = jnp.imag(V) * plan.sg if plan.hermitian else jnp.imag(V)
-    flat = jnp.stack([jnp.real(V).reshape(-1), vim_out.reshape(-1)], axis=-1)
-    if plan.w_support > 1:
-        # wplanes: a visibility's value is the SUM over its w-plane
-        # replicas (transpose of the kernel-weighted scatter)
+    if plan.windowed:
+        # windowed wplanes: a visibility's value is the SUM over its
+        # w-plane replica slots (rep_idx, built from the window map at
+        # plan time) — one (nvis, Ws)-row gather; the conjugation sign
+        # applies per-vis AFTER the sum (all replicas share it)
+        flat = jnp.stack([jnp.real(V).reshape(-1), jnp.imag(V).reshape(-1)], axis=-1)
         rows = flat[plan.rep_idx].sum(axis=1)  # (nvis, Ws, 2) -> (nvis, 2)
+        if plan.hermitian:
+            rows = rows * jnp.stack([jnp.ones_like(plan.sg), plan.sg], axis=-1)
     else:
+        vim_out = jnp.imag(V) * plan.sg if plan.hermitian else jnp.imag(V)
+        flat = jnp.stack([jnp.real(V).reshape(-1), vim_out.reshape(-1)], axis=-1)
         rows = flat[plan.inv_orig]  # (nvis, 2) single row-gather back
     out = rows.T.reshape(2, plan.nrow, plan.nchan)
     if mask is not None:
@@ -2264,6 +2521,15 @@ def to_group_layout(plan: IDGPlan, arr):
     vis-space Hessian and residual evaluations then run with zero gathers.
     """
     rdt = plan.phase_re.dtype
+    if plan.windowed:
+        srt = arr.astype(rdt).reshape(-1)[plan.sort_idx]
+        nvis = srt.shape[0]
+        npack = -(-nvis // _WIN_PACK) + plan.G // _WIN_PACK
+        packed = jnp.zeros((npack * _WIN_PACK, 1), rdt).at[:nvis, 0].set(srt)
+        g = _window_gather(packed.reshape(npack, _WIN_PACK), plan.win_start, plan.G, 1)[..., 0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        msk = (lane >= plan.win_off[:, None]) & (lane < (plan.win_off + plan.win_len)[:, None])
+        return jnp.where(msk, g, rdt.type(0.0))
     flat = jnp.concatenate([arr.astype(rdt).reshape(-1), jnp.zeros(1, rdt)])
     return flat[plan.cg_idx]
 

@@ -115,25 +115,27 @@ def main():
                                    "mvis_per_s": round(nvis / td / 1e6, 1)})
     gi._batched_bins_ok = batched_gate
 
-    # phase breakdown (batched path): prepare gather / eval / accumulate
+    # phase breakdown (batched path): prepare gather / eval / accumulate.
+    # The plan travels as a pytree ARGUMENT (the module functions are
+    # already jitted) — closing over it would embed ~0.5 GB of constants
+    # in the remote-compile request (HTTP 413 through the tunnel).
     jax.clear_caches()
-    prep = jax.jit(lambda vr_, vi_: gi._idg_prepare(plan, vr_, vi_, None, None))
-    tp = timed(lambda i: prep(vre[i], vim[i])[0])
-    vals = [prep(vre[i], vim[i]) for i in range(NREP)]
-    ev = jax.jit(lambda v: gi._idg_patches_uv(plan, v))
-    te = timed(lambda i: ev(vals[i])[0])
-    pats = [ev(vals[i]) for i in range(NREP)]
-    ac = jax.jit(lambda p: gi._idg_accumulate_bins(plan, p).real)
-    ta = timed(lambda i: ac(pats[i]))
+    tp = timed(lambda i: gi._idg_prepare(plan, vre[i], vim[i], None, None)[0])
+    vals = [gi._idg_prepare(plan, vre[i], vim[i], None, None) for i in range(NREP)]
+    te = timed(lambda i: gi._idg_patches_uv(plan, vals[i])[0])
+    pats = [gi._idg_patches_uv(plan, vals[i]) for i in range(NREP)]
+    ta = timed(lambda i: gi._idg_accumulate_bins(plan, pats[i]).real)
     emit("phases", {"prepare_ms": round(tp * 1e3, 1), "eval_ms": round(te * 1e3, 1),
                     "accumulate_ms": round(ta * 1e3, 1)})
 
-    # production residual path: grouped round trip (zero gathers)
+    # production residual path: Hessian round trip (wplanes plans take
+    # the per-vis weights in ORIGINAL layout — the weight applies to the
+    # replica SUM, hessian_vis_idg docstring)
     wgt = jnp.asarray(rng.uniform(0.5, 1.5, (nrow, nchan)).astype(np.float32))
-    wgt_g = gi.to_group_layout(plan, wgt)
-    th = timed(lambda i: gi.hessian_vis_idg(plan, imgs[i], wgt_g=wgt_g))
-    emit("hessian_grouped", {"ms": round(th * 1e3, 1),
-                             "mvis_per_s_roundtrip": round(nvis / th / 1e6, 1)})
+    wgt_h = wgt if plan.w_support > 1 else gi.to_group_layout(plan, wgt)
+    th = timed(lambda i: gi.hessian_vis_idg(plan, imgs[i], wgt_g=wgt_h))
+    emit("hessian_roundtrip", {"ms": round(th * 1e3, 1),
+                               "mvis_per_s_roundtrip": round(nvis / th / 1e6, 1)})
 
 
 if __name__ == "__main__":
