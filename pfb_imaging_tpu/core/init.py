@@ -129,12 +129,15 @@ def init(
                 )
             from ..utils.gains import gains_to_jones
 
+            g_arr, gt_t, gt_f, gt_te, gt_fe = gtab
             jp, jq = gains_to_jones(
-                *gtab,
+                g_arr, gt_t, gt_f,
                 np.asarray(g.read("TIME")),
                 np.asarray(g.read("ANTENNA1")),
                 np.asarray(g.read("ANTENNA2")),
                 freqs,
+                time_edges=gt_te,
+                freq_edges=gt_fe,
             )
 
         vis_s, wgt_s = weight_data(vis, wgt, jones_p=jp, jones_q=jq, product=product, feed_type=feed_type)

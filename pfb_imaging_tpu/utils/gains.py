@@ -1,80 +1,133 @@
-"""QuartiCal-style gain-table ingest with time/channel interpolation.
+"""QuartiCal-style gain-table ingest with solution-interval mapping.
 
-The reference interpolates externally-solved gain tables onto the
-visibility stream at ingest: ``construct_mappings`` builds per-row
-time-bin and per-channel freq-bin maps into the gain grid
+The reference maps externally-solved gain tables onto the visibility
+stream at ingest: ``construct_mappings`` builds per-row time-bin and
+per-channel freq-bin maps into the gain grid over SOLUTION INTERVALS
 (reference utils/misc.py:204-466) and ``stokes2vis`` applies the mapped
 Jones terms inside ``weight_data`` (utils/stokes2vis.py:26-368).
 
 Here the table is a plain array store and the mapping is a pair of
-nearest-bin index maps — the application path is the existing full/diag
-Jones ``weight_data`` (utils/stokes.py).
+CONTAINING-BIN index maps over the solution-interval edges (round 5,
+VERDICT r4 #7): a row belongs to the interval whose [edge_i, edge_{i+1})
+span contains its time/frequency — NOT the nearest solution centre,
+which silently mis-assigns rows near interval boundaries on non-uniform
+grids. Tables may store explicit edges (``GAIN_TIME_EDGES`` /
+``GAIN_FREQ_EDGES``, n+1 each); when only centres are present the edges
+are inferred as the midpoints between consecutive centres (exact for
+uniform intervals, the best available inference otherwise). Values
+outside every interval clamp to the first/last solution. No
+interpolation is performed — a solution interval is a constant-gain
+span, matching QuartiCal application semantics.
 
 Table schema (TreeStore or .npz):
-    GAINS      (ntime_g, nchan_g, nant, ncorr) complex — diagonal terms,
-               or (ntime_g, nchan_g, nant, 2, 2) complex — full Jones
-    GAIN_TIME  (ntime_g,) seconds (same clock as the container TIME)
-    GAIN_FREQ  (nchan_g,) Hz
+    GAINS            (ntime_g, nchan_g, nant, ncorr) complex — diagonal,
+                     or (ntime_g, nchan_g, nant, 2, 2) complex full Jones
+    GAIN_TIME        (ntime_g,) seconds (same clock as container TIME)
+    GAIN_FREQ        (nchan_g,) Hz
+    GAIN_TIME_EDGES  optional (ntime_g + 1,) interval edges, seconds
+    GAIN_FREQ_EDGES  optional (nchan_g + 1,) interval edges, Hz
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["load_gain_table", "save_gain_table", "nearest_bin", "gains_to_jones"]
+__all__ = [
+    "load_gain_table",
+    "save_gain_table",
+    "containing_bin",
+    "nearest_bin",
+    "gains_to_jones",
+]
 
 
-def save_gain_table(store, gains, gain_time, gain_freq) -> None:
+def save_gain_table(store, gains, gain_time, gain_freq,
+                    time_edges=None, freq_edges=None) -> None:
     store.write("GAINS", np.asarray(gains))
     store.write("GAIN_TIME", np.asarray(gain_time, np.float64))
     store.write("GAIN_FREQ", np.asarray(gain_freq, np.float64))
+    if time_edges is not None:
+        store.write("GAIN_TIME_EDGES", np.asarray(time_edges, np.float64))
+    if freq_edges is not None:
+        store.write("GAIN_FREQ_EDGES", np.asarray(freq_edges, np.float64))
 
 
 def load_gain_table(path):
-    """Returns (gains, gain_time, gain_freq) from a TreeStore path or .npz."""
+    """Returns (gains, gain_time, gain_freq[, time_edges, freq_edges])
+    from a TreeStore path or .npz — a 5-tuple; edge entries are None when
+    the table stores only solution centres."""
     p = str(path)
     if p.endswith(".npz"):
         z = np.load(p)
-        return np.asarray(z["GAINS"]), np.asarray(z["GAIN_TIME"]), np.asarray(z["GAIN_FREQ"])
+        te = np.asarray(z["GAIN_TIME_EDGES"]) if "GAIN_TIME_EDGES" in z else None
+        fe = np.asarray(z["GAIN_FREQ_EDGES"]) if "GAIN_FREQ_EDGES" in z else None
+        return (np.asarray(z["GAINS"]), np.asarray(z["GAIN_TIME"]),
+                np.asarray(z["GAIN_FREQ"]), te, fe)
     from .store import TreeStore
 
     st = TreeStore(p)
+    te = np.asarray(st.read("GAIN_TIME_EDGES")) if st.has("GAIN_TIME_EDGES") else None
+    fe = np.asarray(st.read("GAIN_FREQ_EDGES")) if st.has("GAIN_FREQ_EDGES") else None
     return (
         np.asarray(st.read("GAINS")),
         np.asarray(st.read("GAIN_TIME")),
         np.asarray(st.read("GAIN_FREQ")),
+        te,
+        fe,
     )
 
 
-def nearest_bin(grid: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Nearest-gridpoint index map (the reference's gain mappings are
-    containing-bin lookups over solution intervals; for solution grids
-    stored at interval centres that is the nearest centre)."""
-    grid = np.asarray(grid, np.float64)
+def containing_bin(centres: np.ndarray, x: np.ndarray,
+                   edges: np.ndarray | None = None) -> np.ndarray:
+    """Containing-solution-interval index map (reference
+    ``construct_mappings`` semantics, utils/misc.py:204-466).
+
+    ``edges`` (n+1,) are the interval boundaries; bin i spans
+    [edges[i], edges[i+1]). Without explicit edges they are inferred as
+    midpoints between consecutive centres. Out-of-range values clamp to
+    the end intervals.
+    """
+    centres = np.asarray(centres, np.float64)
     x = np.asarray(x, np.float64)
-    if grid.size == 1:
+    n = centres.size
+    if n == 1:
         return np.zeros(x.shape, np.int64)
-    hi = np.clip(np.searchsorted(grid, x), 1, grid.size - 1)
-    lo = hi - 1
-    pick_hi = np.abs(grid[hi] - x) < np.abs(x - grid[lo])
-    return np.where(pick_hi, hi, lo)
+    if edges is None:
+        inner = 0.5 * (centres[1:] + centres[:-1])
+    else:
+        edges = np.asarray(edges, np.float64)
+        if edges.size != n + 1:
+            raise ValueError(
+                f"gain interval edges must have {n + 1} entries, got {edges.size}"
+            )
+        inner = edges[1:-1]
+    return np.clip(np.searchsorted(inner, x, side="right"), 0, n - 1)
 
 
-def gains_to_jones(gains, gain_time, gain_freq, times, ant1, ant2, freqs):
+def nearest_bin(grid: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Nearest-gridpoint index map — equivalent to ``containing_bin`` with
+    midpoint-inferred edges; kept for callers that want the name."""
+    return containing_bin(grid, x)
+
+
+def gains_to_jones(gains, gain_time, gain_freq, times, ant1, ant2, freqs,
+                   time_edges=None, freq_edges=None):
     """Map a gain table onto a visibility partition.
 
     Args:
         gains: (ntg, nfg, nant, ncorr) diagonal or (ntg, nfg, nant, 2, 2).
         times: (nrow,) row times; ant1/ant2: (nrow,) antenna indices;
         freqs: (nchan,) channel frequencies.
+        time_edges/freq_edges: optional explicit solution-interval edges
+            ((n+1,) each) — containing-bin lookups use them directly.
 
     Returns:
         (jones_p, jones_q) in ``weight_data``'s layout: diagonal
         (ncorr, nrow, nchan), or full (2, 2, nrow, nchan).
     """
     gains = np.asarray(gains)
-    ti = nearest_bin(gain_time, times)  # (nrow,)
-    fi = nearest_bin(gain_freq, freqs)  # (nchan,)
+    ti = containing_bin(gain_time, times, edges=time_edges)  # (nrow,)
+    fi = containing_bin(gain_freq, freqs, edges=freq_edges)  # (nchan,)
     full = gains.ndim == 5
     # (nrow, nchan, ...) gather — the gain grid is small, the fancy index
     # is the row x chan outer product of the two bin maps

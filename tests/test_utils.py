@@ -242,3 +242,67 @@ def test_require_complete_stamp(tmp_path):
         require_complete(t)
     t.set_attrs(complete=True)
     require_complete(t)  # no raise
+
+
+def test_gain_containing_bin_nonuniform():
+    """Solution-interval maps are CONTAINING-bin over interval edges
+    (reference construct_mappings, utils/misc.py:204-466) — not nearest
+    centre, which mis-assigns near boundaries on non-uniform grids
+    (round-5, VERDICT r4 #7)."""
+    import numpy as np
+
+    from pfb_imaging_tpu.utils.gains import containing_bin
+
+    # non-uniform solution intervals: edges [0, 10), [10, 40), [40, 100)
+    edges = np.array([0.0, 10.0, 40.0, 100.0])
+    centres = np.array([5.0, 25.0, 70.0])
+    x = np.array([0.0, 9.9, 10.0, 39.9, 14.0, 40.0, 99.0, -5.0, 120.0])
+    idx = containing_bin(centres, x, edges=edges)
+    np.testing.assert_array_equal(idx, [0, 0, 1, 1, 1, 2, 2, 0, 2])
+    # x=14 sits in interval 1 ([10, 40)) but is NEAREST to centre 0 (5.0
+    # at distance 9 vs 25.0 at distance 11): nearest-centre gets it wrong
+    mid = containing_bin(centres, np.array([14.0]))  # midpoint-inferred
+    assert mid[0] == 0  # the documented inference without edges
+    assert containing_bin(centres, np.array([14.0]), edges=edges)[0] == 1
+    # bad edge count is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="edges"):
+        containing_bin(centres, x, edges=edges[:-1])
+
+
+def test_gain_table_edges_roundtrip(tmp_path):
+    """save/load_gain_table round-trips explicit interval edges and
+    gains_to_jones honours them."""
+    import numpy as np
+
+    from pfb_imaging_tpu.utils.gains import (
+        gains_to_jones,
+        load_gain_table,
+        save_gain_table,
+    )
+    from pfb_imaging_tpu.utils.store import TreeStore
+
+    rng = np.random.default_rng(3)
+    ntg, nfg, nant = 3, 2, 4
+    gains = rng.standard_normal((ntg, nfg, nant, 2)) + 1j * rng.standard_normal(
+        (ntg, nfg, nant, 2)
+    )
+    gt = np.array([5.0, 25.0, 70.0])
+    gf = np.array([1.0e9, 1.3e9])
+    te = np.array([0.0, 10.0, 40.0, 100.0])
+    fe = np.array([0.9e9, 1.2e9, 1.4e9])
+    st = TreeStore(str(tmp_path / "g.gains"), mode="w")
+    save_gain_table(st, gains, gt, gf, time_edges=te, freq_edges=fe)
+    g2, t2, f2, te2, fe2 = load_gain_table(str(tmp_path / "g.gains"))
+    np.testing.assert_array_equal(te2, te)
+    np.testing.assert_array_equal(fe2, fe)
+    times = np.array([14.0, 50.0])
+    ant1 = np.array([0, 1])
+    ant2 = np.array([2, 3])
+    freqs = np.array([1.25e9])
+    jp, _ = gains_to_jones(g2, t2, f2, times, ant1, ant2, freqs,
+                           time_edges=te2, freq_edges=fe2)
+    # row 0 (t=14) -> interval 1 (containing), chan -> freq interval 1
+    np.testing.assert_allclose(jp[:, 0, 0], gains[1, 1, 0])
+    np.testing.assert_allclose(jp[:, 1, 0], gains[2, 1, 1])
