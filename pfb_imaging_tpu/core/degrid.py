@@ -127,7 +127,7 @@ def degrid(
             targets — the MODEL_DATA column is correlations).
         region_file: split the prediction by image regions — the
             remainder writes ``column``, region i writes ``column{i}``.
-        gridder: "idg" | "stack" | "auto" (IDG when the epsilon envelope
+        gridder: "idg" | "stack" | "pallas" | "auto" (IDG when the epsilon envelope
             and occupancy budget allow).
     """
     from ..ops.gridder_idg import IDG_MIN_EPS, dirty2vis_idg, plan_idg
@@ -148,6 +148,9 @@ def degrid(
         else [None]
     )
     want_idg = gridder == "idg" or (gridder == "auto" and epsilon >= IDG_MIN_EPS)
+    use_pallas = gridder == "pallas"  # classic plan + Pallas scatter core
+    if use_pallas:
+        want_idg = False
 
     for key in ms.groups():
         g = ms.group(key)
@@ -195,7 +198,12 @@ def degrid(
                     img = eval_coeffs_to_slice(ttime, fc, coeffs, ix, iy, ma)
                     if mask is not None:
                         img = img * mask
-                    d2v = dirty2vis_idg if is_idg else dirty2vis
+                    if is_idg:
+                        d2v = dirty2vis_idg
+                    elif use_pallas:
+                        from ..ops.gridder_pallas import dirty2vis_scatter as d2v
+                    else:
+                        d2v = dirty2vis
                     pend.append((p, chans, d2v(plan, jnp.asarray(img))))
             stokes = np.zeros((4, uvw.shape[0], freqs.size), dtype=np.complex128)
             for p, chans, mv in pend:

@@ -177,6 +177,11 @@ def imager(
 
     from ..ops.gridder_idg import IDG_MIN_EPS
 
+    # "pallas": the classic plan driven through the Pallas scatter core
+    # (ops/gridder_pallas.py) — per-visibility cost, the explicit escape
+    # hatch for uv layouts too sparse for the bucketed paths (VERDICT r4
+    # #5 routing note in gridder_pallas.py)
+    use_pallas = gridder == "pallas"
     use_idg = gridder == "idg" or (gridder == "auto" and epsilon >= IDG_MIN_EPS)
     if gridder == "auto" and use_idg and parts:
         # occupancy probe on the largest grid (PSF): wide-field many-w-bin
@@ -312,8 +317,14 @@ def imager(
     pending = deque()
     ti = 0
 
-    d2v = dirty2vis_idg if use_idg else None
-    v2d = vis2dirty_idg if use_idg else vis2dirty
+    if use_pallas:
+        from ..ops.gridder_pallas import dirty2vis_scatter, vis2dirty_scatter
+
+        d2v = None
+        v2d = vis2dirty_scatter
+    else:
+        d2v = dirty2vis_idg if use_idg else None
+        v2d = vis2dirty_idg if use_idg else vis2dirty
     gdt = np.float64 if double_precision else np.float32
 
     def grid_image(plan_t, visc, wgt_, mask_):

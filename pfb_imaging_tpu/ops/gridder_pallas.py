@@ -817,3 +817,70 @@ def dirty2vis_pallas(plan, tiles: dict, image, mask=None, split: bool = False, i
     if split:
         return out_ri
     return jax.lax.complex(out_ri[0], out_ri[1])
+
+
+# ── classic-stack backend surface (round 5, VERDICT r4 #5) ───────────
+# ``gridder="pallas"`` in core/imager.py and core/degrid.py routes the
+# classic ES w-stacking plan through these wrappers instead of the XLA
+# scan. ROUTING NOTE: the bucketed-scan classic path and the IDG path
+# pay per-GROUP costs, so heavily padded layouts (very sparse uv
+# coverage on a big grid) waste slots; the Pallas scatter pays per
+# VISIBILITY (plus a per-tile VMEM flush), making it the only scatter
+# path whose cost does not grow with slot padding. Auto-routing keeps
+# IDG/stack (they win everywhere measured so far); "pallas" is the
+# explicit escape hatch for pathological sparse layouts.
+
+_TILES_CACHE: dict = {}
+
+
+def tiles_for(plan) -> dict:
+    """Per-plan tile layout, cached by plan identity (plans are immutable)."""
+    key = id(plan)
+    hit = _TILES_CACHE.get(key)
+    if hit is None or hit[0]() is not plan:
+        import weakref
+
+        _TILES_CACHE.clear()  # plans are few and large; keep one
+        tiles = plan_pallas(plan)
+        try:
+            ref = weakref.ref(plan)
+        except TypeError:  # pragma: no cover - non-weakrefable plan
+            ref = lambda: plan  # noqa: E731
+        _TILES_CACHE[key] = (ref, tiles)
+        hit = _TILES_CACHE[key]
+    return hit[1]
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _require_f32(plan):
+    if plan.u_pix.dtype != jnp.float32:
+        raise ValueError(
+            "the Pallas scatter backend is f32-only (Mosaic VMEM tiles); "
+            "plan with dtype=np.float32 / double_precision=False"
+        )
+
+
+def vis2dirty_scatter(plan, vis, wgt=None, mask=None, vis_im=None):
+    """Classic-stack-signature adjoint through the Pallas scatter core
+    (w-stacked kernel; all planes in one pass)."""
+    _require_f32(plan)
+    if vis_im is None:
+        vis_re, vis_im = jnp.real(vis), jnp.imag(vis)
+    else:
+        vis_re = vis
+    return vis2dirty_pallas_wstack(
+        plan, tiles_for(plan), vis_re, vis_im, wgt, mask,
+        interpret=_interpret_default(),
+    )
+
+
+def dirty2vis_scatter(plan, image, mask=None, split: bool = False):
+    """Classic-stack-signature forward through the Pallas gather core."""
+    _require_f32(plan)
+    return dirty2vis_pallas(
+        plan, tiles_for(plan), image, mask, split=split,
+        interpret=_interpret_default(),
+    )
