@@ -58,6 +58,16 @@ def deconv(
     """Run the major cycle in place on the tree. Returns (model, residual)."""
     import jax.numpy as jnp
 
+    from ..parallel.multihost import (
+        allsum as mh_allsum,
+        barrier as mh_barrier,
+        host_gather,
+        is_multihost,
+        process_count as jax_pc,
+        process_index as jax_pi,
+    )
+
+    multihost = is_multihost()
     dt = TreeStore(dt_path, mode="w")
     require_complete(dt)
     attrs = dt.attrs
@@ -138,7 +148,17 @@ def deconv(
             row_size = ndev // band_size
             while row_size > 1 and nx_psf % row_size:
                 row_size -= 1
-        mesh = make_mesh(band=band_size, row=row_size)
+        if multihost:
+            # interleave devices by process so every host owns bands and
+            # the band axis spans DCN (parallel/multihost.spanning_devices)
+            from ..parallel.multihost import spanning_devices
+
+            mesh = make_mesh(
+                band=band_size, row=row_size,
+                devices=spanning_devices(band_size * row_size),
+            )
+        else:
+            mesh = make_mesh(band=band_size, row=row_size)
         if row_size > 1 and all(bm is None for bm in beams):
             # stream each band's |PSFHAT| straight into the transposed
             # padded row-sharded layout the distributed FFT consumes
@@ -228,7 +248,14 @@ def deconv(
         )
         solver._model = put(solver._model)
         solver._update = put(solver._update)
+        if getattr(solver.backward_alg, "_v", None) is not None:
+            # the PD dual must share the band sharding: mixed local/global
+            # inputs cannot jit across hosts (multi-host, VERDICT r4 #2)
+            solver.backward_alg._v = put(np.asarray(solver.backward_alg._v))
         log.info("band mesh: %d-way sharding over %d devices", band_size, ndev)
+    else:
+        spec = None
+        put = None
 
     best_rms = np.inf
     best_model = model.copy()
@@ -239,10 +266,11 @@ def deconv(
 
     for k in range(iter0, iter0 + niter):
         rin = residual if band_beam is None else residual * band_beam
-        solver.first(jnp.asarray(rin / wsum))
-        update = np.asarray(solver.forward(None))
+        rin_dev = put(rin / wsum) if put is not None else jnp.asarray(rin / wsum)
+        solver.first(rin_dev)
+        update = host_gather(solver.forward(None))
         lam = (init_factor if (iter0 == 0 and k == 0) else 1.0) * rmsfactor * rms  # D5
-        model = np.asarray(solver.backward(lam))
+        model = host_gather(solver.backward(lam))
         solver.last()
 
         if fit_mds and model.any():
@@ -254,8 +282,9 @@ def deconv(
             coeffs, ix, iy, mattrs = fit_image_cube(
                 times_u, freqs_u, mcube, nbasisf=nbasisf or nband_f, nbasist=min(ntime, 2)
             )
-            mds = TreeStore(str(dt.path).replace(".dt", ".mds"), mode="w")
-            save_mds(mds, coeffs, ix, iy, mattrs)
+            if not multihost or jax_pi() == 0:
+                mds = TreeStore(str(dt.path).replace(".dt", ".mds"), mode="w")
+                save_mds(mds, coeffs, ix, iy, mattrs)
             mcube = eval_coeffs_to_cube(times_u, freqs_u, coeffs, ix, iy, mattrs)
             model = mcube.transpose(1, 0, 2, 3).reshape(nband, nx, ny)
 
@@ -265,7 +294,12 @@ def deconv(
         # #5); per-(band, time) async dispatch is the fallback for
         # layouts the stacking cannot serve.
         by_time: dict = {}
+        owned = (
+            {b for b in range(nband) if b % jax_pc() == jax_pi()} if multihost else None
+        )
         for b, key in enumerate(band_nodes):
+            if owned is not None and b not in owned:
+                continue  # another host grids this band's residual
             by_time.setdefault(key.split("_time")[-1], []).append((b, key))
         serial: list = []
         for items in by_time.values():
@@ -279,6 +313,9 @@ def deconv(
             else:
                 serial.extend(items)
         if serial:
+            from .imager import RESIDUAL_DISPATCH_STATS
+
+            RESIDUAL_DISPATCH_STATS["fallback_bands"] += len(serial)
             resid_d = [
                 residual_from_parts(
                     dt.group(key), model[b], epsilon=epsilon, do_wgridding=do_wgridding,
@@ -288,6 +325,12 @@ def deconv(
             ]
             for (b, _), rd in zip(serial, resid_d):
                 residual[b] = np.asarray(rd)
+        if owned is not None:
+            # disjoint per-host band residuals -> every host (each host
+            # gridded only its bands; stale un-owned bands are dropped)
+            keep = np.zeros(nband, bool)
+            keep[list(owned)] = True
+            residual = mh_allsum(residual * keep[:, None, None])
 
         rms_p, rmax_p = rms, rmax
         mfs = residual.sum(axis=0) / wsum
@@ -295,9 +338,12 @@ def deconv(
         rmax = float(np.abs(mfs).max())
         from ..utils.profiling import memory_line
 
+        from .imager import RESIDUAL_DISPATCH_STATS as _rds
+
         log.info(
-            "iter %d: lam=%.3e rms=%.3e rmax=%.3e [%s]",
-            k + 1, lam, rms, rmax, memory_line(),
+            "iter %d: lam=%.3e rms=%.3e rmax=%.3e residual-dispatch[mb=%d fb=%d] [%s]",
+            k + 1, lam, rms, rmax,
+            _rds["multiband_parts"], _rds["fallback_bands"], memory_line(),
         )
 
         if rms < best_rms:
@@ -307,7 +353,11 @@ def deconv(
         # checkpoint write-back (reference core/deconv.py:346-372), plus the
         # PD dual (an improvement over the reference's unpersisted dual)
         dual_ck = getattr(solver.backward_alg, "_v", None)
+        if dual_ck is not None and multihost:
+            dual_ck = host_gather(dual_ck)
         for b, key in enumerate(band_nodes):
+            if owned is not None and b not in owned:
+                continue  # single-writer: the owning host persists it
             node = dt.group(key)
             node.write("MODEL", model[b])
             node.write("UPDATE", update[b])
@@ -316,6 +366,8 @@ def deconv(
             if dual_ck is not None:
                 node.write("DUAL", np.asarray(dual_ck[b]))
             node.set_attrs(niters=k + 1, rms=rms, rmax=rmax, hess_norm=solver.hess_norm)
+        if multihost:
+            mh_barrier(f"deconv-iter-{k}")
 
         if rms > rms_p and rmax > rmax_p:
             diverge += 1

@@ -89,7 +89,29 @@ class PFBSolver:
 
         if hessnorm is None:
             log.info("Finding spectral norm of Hessian approximation")
-            beta, _ = power_method(hess.dot, model.shape, tol=pm_tol, maxit=pm_maxit)
+            b0 = None
+            if jax.process_count() > 1:
+                # multi-host: the start vector must share the hess's band
+                # sharding — mixed local/global inputs cannot jit across
+                # hosts (parallel/multihost.py)
+                lead = next(
+                    (
+                        leaf
+                        for leaf in jax.tree_util.tree_leaves(hess)
+                        if hasattr(leaf, "sharding")
+                        and getattr(leaf, "ndim", 0) >= 1
+                        and leaf.shape[0] == model.shape[0]
+                    ),
+                    None,
+                )
+                if lead is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    b0 = jax.device_put(
+                        jax.random.normal(jax.random.PRNGKey(42), model.shape),
+                        NamedSharding(lead.sharding.mesh, P("band")),
+                    )
+            beta, _ = power_method(hess.dot, model.shape, b0=b0, tol=pm_tol, maxit=pm_maxit)
             hessnorm = float(beta) * 1.05
         self.hess_norm = float(hessnorm)
         log.info("Using hess_norm = %.3e", self.hess_norm)

@@ -136,3 +136,47 @@ def barrier(name: str = "pfb") -> None:
 def fetch_band_slices(arr) -> list[tuple[int, np.ndarray]]:
     """Alias of ``owned_band_slices`` (name used by the drivers)."""
     return owned_band_slices(arr)
+
+
+def host_gather(arr) -> np.ndarray:
+    """``np.asarray`` that also works for non-fully-addressable global
+    arrays: gathers every shard to every host (the driver-side cube sizes
+    are image-scale — D10 keeps the heavy gridded products sharded)."""
+    if not is_multihost() or getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
+def allsum(x) -> np.ndarray:
+    """Sum a host-local numpy array across processes (disjoint per-host
+    band contributions -> the full cube on every host)."""
+    x = np.asarray(x)
+    if not is_multihost():
+        return x
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x)).sum(axis=0)
+
+
+def spanning_devices(n: int) -> list:
+    """``n`` devices spread round-robin across processes.
+
+    ``jax.devices()`` orders devices process-major, so a small mesh built
+    from its prefix would land entirely on process 0 and the other hosts
+    would hold no addressable shard of any band. Interleaving by process
+    keeps every host inside the mesh whenever n >= process_count.
+    """
+    by_proc: dict[int, list] = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, []).append(d)
+    order = []
+    cols = max(len(v) for v in by_proc.values())
+    for i in range(cols):
+        for p in sorted(by_proc):
+            if i < len(by_proc[p]):
+                order.append(by_proc[p][i])
+    if n > len(order):
+        raise ValueError(f"need {n} devices, have {len(order)}")
+    return order[:n]

@@ -569,6 +569,15 @@ def stage_widefield(rng):
         "nvis": nvis,
     }
     emit("widefield", rec)
+    # group-layout rate (the production residual path, as the narrow-field
+    # stage reports): values pre-permuted once per dataset, zero gathers
+    from pfb_imaging_tpu.ops.gridder_idg import _idg_prepare, vis2dirty_idg_grouped
+
+    vals0 = _idg_prepare(plan, vr, vi, None, None)
+    gcall = lambda i: vis2dirty_idg_grouped(plan, sc(vals0, scal(1.0 + 1e-6 * i)))  # noqa: E731
+    np.asarray(cks(gcall(0)))
+    rec["grouped_vis_per_sec"] = nvis / timed_chain(gcall, nrep=2)
+    emit("widefield", rec)
     # degrid + full Hessian round trip at the SAME wide-field layout
     # (round-3 VERDICT weak #6: the wplanes path had only one number)
     from pfb_imaging_tpu.ops.gridder_idg import dirty2vis_idg, hessian_vis_idg

