@@ -2209,6 +2209,16 @@ def _bin_classes(plan):
 # wide-field wplanes accumulate phase runs ~2x faster (docs/perf.md).
 
 _BATCH_ACCUM_BYTES = 5 << 30  # peak temp budget for the batched path
+# strided-slice quarter split: the (rows, S, S) lane-padded relayout
+# transient is rows * S * 128 * itemsize — allow it when it fits
+_SLICE_QUARTER_BYTES = 6 << 30
+
+
+def _slice_quarters_ok(plan, rows, rdt) -> bool:
+    if jax.devices()[0].platform == "cpu":
+        return True  # no lane padding on CPU; slices are near-free
+    itemsize = 4 if rdt == jnp.float32 else 8
+    return rows * plan.S * 128 * itemsize <= _SLICE_QUARTER_BYTES
 # skip when the dense nbins*lattice rows dwarf the occupied groups
 # (sparse many-bin chirp plans: the compact per-class scan wins)
 _BATCH_LATTICE_FACTOR = 4
@@ -2277,15 +2287,28 @@ def _assemble_bins_batched(plan, patches):
     idx2 = jnp.concatenate([bidg, bidg + (nb * latt + 1)])
     orig2 = jnp.zeros((2 * (nb * latt + 1), S * S), rdt).at[idx2].add(flat)
     orig = orig2.reshape(2, nb * latt + 1, S * S)[:, : nb * latt].reshape(2 * nb * latt, S * S)
-    split = _split3_bf16(orig) if (rdt == jnp.float32 and on_tpu) else None
     L = jnp.zeros((2, nb, R_u, R_v, half * half), rdt)
-    for a in range(r):
-        for b in range(r):
-            sel = _sel_quarter(S, half, a, b, jnp.bfloat16)
-            q = (_mm_onehot_pre(split, sel) if split is not None
-                 else _MM(orig, sel.astype(rdt)))
-            q = q.reshape(2, nb, nbu, nbv, half * half)
-            L = L.at[:, :, a : a + nbu, b : b + nbv, :].add(q)
+    if _slice_quarters_ok(plan, 2 * nb * latt, rdt):
+        # quarter split as strided slices (round 5): EXACT (no bf16
+        # split) and measured 1.56x faster than the 3-pass one-hot
+        # matmul at the widefield shape (scripts/microbench_assembly.py:
+        # 33 vs 52 ms at 258k x 1024) — the lane-padded (rows, S, S)
+        # relayout transient is what the budget guards
+        x3 = orig.reshape(2 * nb * latt, S, S)
+        for a in range(r):
+            for b in range(r):
+                q = x3[:, a * half : (a + 1) * half, b * half : (b + 1) * half]
+                q = q.reshape(2, nb, nbu, nbv, half * half)
+                L = L.at[:, :, a : a + nbu, b : b + nbv, :].add(q)
+    else:
+        split = _split3_bf16(orig) if (rdt == jnp.float32 and on_tpu) else None
+        for a in range(r):
+            for b in range(r):
+                sel = _sel_quarter(S, half, a, b, jnp.bfloat16)
+                q = (_mm_onehot_pre(split, sel) if split is not None
+                     else _MM(orig, sel.astype(rdt)))
+                q = q.reshape(2, nb, nbu, nbv, half * half)
+                L = L.at[:, :, a : a + nbu, b : b + nbv, :].add(q)
     # unblock: ext[..., t_u*half + su, :] = L[..., t_u, :, su*half:(su+1)*half]
     D = jnp.stack([L[..., su * half : (su + 1) * half].reshape(2, nb, R_u, R_v * half) for su in range(half)])
     ext = jnp.transpose(D, (1, 2, 3, 0, 4)).reshape(2, nb, R_u * half, R_v * half)
@@ -2325,13 +2348,24 @@ def _extract_bins_batched(plan, grids):
         L = jnp.zeros((nb, R_u, R_v, half * half), rdt)
         for su in range(half):
             L = L.at[..., su * half : (su + 1) * half].set(O3[su].reshape(nb, R_u, R_v, half))
-        acc = jnp.zeros((nb * latt, S * S), rdt)
-        for a in range(r):
-            for b in range(r):
-                q = L[:, a : a + nbu, b : b + nbv, :].reshape(nb * latt, half * half)
-                selT = _sel_quarter(S, half, a, b, jnp.bfloat16).T
-                acc = acc + (_mm_onehot(q, selT) if rdt == jnp.float32 and on_tpu
-                             else _MM(q, selT.astype(rdt)))
+        if _slice_quarters_ok(plan, nb * latt, rdt):
+            # quarters are disjoint S x S sub-blocks: write them as
+            # strided-slice sets (exact; the transpose of the assembly
+            # slice path — round 5, scripts/microbench_assembly.py)
+            acc3 = jnp.zeros((nb * latt, S, S), rdt)
+            for a in range(r):
+                for b in range(r):
+                    q = L[:, a : a + nbu, b : b + nbv, :].reshape(nb * latt, half, half)
+                    acc3 = acc3.at[:, a * half : (a + 1) * half, b * half : (b + 1) * half].set(q)
+            acc = acc3.reshape(nb * latt, S * S)
+        else:
+            acc = jnp.zeros((nb * latt, S * S), rdt)
+            for a in range(r):
+                for b in range(r):
+                    q = L[:, a : a + nbu, b : b + nbv, :].reshape(nb * latt, half * half)
+                    selT = _sel_quarter(S, half, a, b, jnp.bfloat16).T
+                    acc = acc + (_mm_onehot(q, selT) if rdt == jnp.float32 and on_tpu
+                                 else _MM(q, selT.astype(rdt)))
         accP = jnp.concatenate([acc, jnp.zeros((1, S * S), rdt)])
         planes.append(accP[bidg].reshape(plan.ngroups, S, S))
     return jnp.stack(planes)

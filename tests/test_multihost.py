@@ -57,7 +57,6 @@ def test_containing_helpers_single_process():
     np.testing.assert_array_equal(allsum(np.ones(3)), np.ones(3))
 
 
-@pytest.mark.timeout(1200)
 def test_two_process_pipeline(tmp_path):
     """Full imager+deconv across 2 spawned processes (8 global devices)."""
     port = _free_port()
