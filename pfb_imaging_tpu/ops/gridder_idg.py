@@ -355,20 +355,29 @@ def _split_f32(a):
     return hi, lo
 
 
+# error-free transforms need every intermediate ROUNDED to f32: the
+# runtime pins --xla_allow_excess_precision=true (see _split3_bf16), under
+# which XLA may keep f32 chains at higher precision and the compensation
+# terms collapse (measured: the Newton-sqrt correction lost 10x under jit
+# vs disable_jit). optimization_barrier forces the rounding; these run
+# once per PLAN, so the fusion cost is irrelevant.
+_rnd32 = jax.lax.optimization_barrier
+
+
 def _two_sum(a, b):
     """Knuth two-sum: s + e == a + b exactly (IEEE f32 adds)."""
-    s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
+    s = _rnd32(a + b)
+    bb = _rnd32(s - a)
+    e = (a - _rnd32(s - bb)) + (b - bb)
     return s, e
 
 
 def _sq_prod_f32(t):
     """t*t -> (p, err) with p + err == t^2 exactly (Dekker via 12-bit split)."""
-    p = t * t
+    p = _rnd32(t * t)
     th = _chop12(t)
-    tl = t - th
-    err = ((th * th - p) + 2.0 * th * tl) + tl * tl
+    tl = _rnd32(t - th)
+    err = (_rnd32(th * th) - p + 2.0 * th * tl) + tl * tl
     return p, err
 
 
@@ -402,9 +411,9 @@ def _image_arrays_device(a2h, a2l, b2h, b2l, tur, tui, tvr, tvi, wk_scal,
     valid = uh > 0
     uhc = jnp.where(valid, uh, 1.0)
     ulc = jnp.where(valid, ul, 0.0)
-    t0 = jnp.sqrt(uhc)
+    t0 = _rnd32(jnp.sqrt(uhc))
     p, perr = _sq_prod_f32(t0)
-    r = ((uhc - p) - perr) + ulc
+    r = (_rnd32(uhc - p) - perr) + ulc
     dt = r / (2.0 * t0)
     # t0 in (0.5, 1] on any physical field -> t0 - 1 is EXACT (Sterbenz)
     nm1 = jnp.where(valid, t0 - 1.0, -1.0)

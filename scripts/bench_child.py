@@ -739,6 +739,8 @@ def stage_major8k16(rng):
     # one scalar fetch times the whole banded grid phase
     np.asarray(cks((dirty[-1] + dirty[0]).astype(jnp.float32)))
     rec["grid_sec"] = round(time.time() - t0, 1)
+    # 17 gridded products (16 dirty + PSF) over the phase wall
+    rec["grid_vis_per_sec"] = round((nband + 1) * nrow * nchan / max(rec["grid_sec"], 1e-9), 1)
     emit("major8k16", rec)  # progress: gridding done
     del pv, psf8k
 

@@ -469,3 +469,31 @@ def test_idg_batched_bins_matches_per_bin_paths(rng):
         for f in (gi._idg_accumulate_bins, gi._vis2dirty_idg_impl,
                   gi._idg_bins_to_grid_patches, gi._dirty2vis_idg_impl):
             f._clear_cache()
+
+
+def test_image_arrays_device_matches_host_f64(rng):
+    """The device-built (nm1, nm1_lo, corr) plan arrays (round 5 — the
+    host numpy build was ~100 s of the 8k plan) must reproduce the f64
+    host values: nm1 + nm1_lo to ~1e-12 abs (double-f32 Newton sqrt) and
+    the complex correction to f32 roundoff."""
+    import dataclasses
+
+    from pfb_imaging_tpu.ops.gridder_idg import plan_idg
+
+    nrow, nchan, nx = 20_000, 2, 256
+    uvw = rng.uniform(-8000, 8000, (nrow, 3))
+    uvw[:, 2] *= 0.25  # wide-ish w so the wplanes/wkernel corr also runs
+    freq = np.linspace(0.9e9, 1.1e9, nchan)
+    for cell, divn in ((0.02 / nx, True), (8e-6, False)):
+        kw = dict(nx=nx, ny=nx, cellx=cell, celly=cell, epsilon=1e-6,
+                  do_wgridding=True, divide_by_n=divn)
+        p32 = plan_idg(uvw, freq, dtype=np.float32, **kw)
+        p64 = plan_idg(uvw, freq, dtype=np.float64, eval_backend="einsum", **kw)
+        assert p32.w_support == p64.w_support  # same w scheme either way
+        nm1_32 = np.asarray(p32.nm1, np.float64) + np.asarray(p32.nm1_lo, np.float64)
+        nm1_64 = np.asarray(p64.nm1)
+        assert np.abs(nm1_32 - nm1_64).max() < 1e-11
+        c32 = np.asarray(p32.corr_re, np.float64) + 1j * np.asarray(p32.corr_im, np.float64)
+        c64 = np.asarray(p64.corr_re) + 1j * np.asarray(p64.corr_im)
+        scale = np.abs(c64).max()
+        assert np.abs(c32 - c64).max() / scale < 5e-6, (cell, divn)
