@@ -69,7 +69,7 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("--psf-oversize", type=float, default=2.0)
         p.add_argument("--single-precision", action="store_true")
         p.add_argument(
-            "--gridder", choices=("auto", "idg", "stack"), default="auto",
+            "--gridder", choices=("auto", "idg", "stack", "pallas"), default="auto",
             help="measurement operator backend (auto: idg down to epsilon 1e-8 when the occupancy budget allows)",
         )
         _add_common(p)
@@ -121,7 +121,7 @@ def make_parser() -> argparse.ArgumentParser:
         help="split the prediction by regions (circle/box text spec or .npy "
         "mask stack); remainder -> --column, region i -> --column{i}",
     )
-    p.add_argument("--gridder", default="auto", choices=("auto", "idg", "stack"))
+    p.add_argument("--gridder", default="auto", choices=("auto", "idg", "stack", "pallas"))
     _add_common(p)
 
     p = sub.add_parser("fluxtractor", help="vis-space CG flux mop")
@@ -143,7 +143,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--freq-chunks", type=int, default=1)
     p.add_argument("--epsilon", type=float, default=1e-7)
     p.add_argument(
-        "--gridder", choices=("auto", "idg", "stack"), default="auto",
+        "--gridder", choices=("auto", "idg", "stack", "pallas"), default="auto",
         help="measurement operator backend (auto: idg down to epsilon 1e-8 when the occupancy budget allows)",
     )
     _add_common(p)

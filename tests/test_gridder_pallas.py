@@ -209,12 +209,18 @@ def test_pallas_backend_wrappers_match_stack(rng):
         vis2dirty_scatter,
     )
 
-    nrow, nchan, nx = 600, 2, 64
-    uvw = rng.uniform(-400, 400, (nrow, 3))
-    uvw[:, 2] *= 0.05
+    import itertools
+
+    r0 = np.random.RandomState(5)
+    a1, a2 = np.asarray(list(itertools.combinations(range(10), 2))).T
+    antennas = 6e3 * r0.normal(size=(10, 3))
+    antennas[:, 2] *= 0.02
+    uvw = antennas[a1] - antennas[a2]
+    nchan, nx = 2, 64
+    nrow = uvw.shape[0]
     freq = np.linspace(1e9, 1.1e9, nchan)
     plan = plan_wgridder(
-        uvw, freq, nx=nx, ny=nx, cellx=2e-4 / nx, celly=2e-4 / nx,
+        uvw, freq, nx=nx, ny=nx, cellx=2.5e-5 / 2, celly=2.5e-5 / 2,
         epsilon=1e-5, do_wgridding=True, dtype=np.float32,
     )
     vis = rng.standard_normal((nrow, nchan)) + 1j * rng.standard_normal((nrow, nchan))
@@ -244,8 +250,8 @@ def test_imager_pallas_backend(tmp_path, rng):
     init(ms, xds, product="I")
     out_s = str(tmp_path / "s.dt")
     out_p = str(tmp_path / "p.dt")
-    common = dict(nband=1, epsilon=1e-5, field_of_view=None,
-                  super_resolution_factor=1.2, double_precision=False)
+    common = dict(nband=1, epsilon=1e-5, nx=32, ny=32, psf_oversize=1.5,
+                  fits_out=False, double_precision=False)
     imager(xds, out_s, gridder="stack", **common)
     imager(xds, out_p, gridder="pallas", **common)
     ts, tp = TreeStore(out_s), TreeStore(out_p)
