@@ -30,8 +30,8 @@ import sys
 import time
 
 BASELINE_VIS_PER_SEC = 5e7
-HEADLINE_DEADLINE = 720.0  # seconds before we fall back past the gridder
-TOTAL_BUDGET = 2400.0  # seconds before the child is killed outright
+HEADLINE_DEADLINE = float(os.environ.get("BENCH_HEADLINE_DEADLINE", "720"))
+TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET", "2400"))
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 RESULTS_PATH = os.path.join(HERE, ".bench_results.json")

@@ -721,6 +721,9 @@ def stage_major8k16(rng):
         lambda p: jnp.zeros((nx_psf, nx_psf), jnp.float32).at[o : o + nx, o : o + nx].set(p)
     )
     abspsfhat = jax.jit(lambda p: jnp.abs(psf_to_psfhat(p)))(pad_psf(psf8k)[None, None])
+    np.asarray(cks(abspsfhat[0, 0, :1, :1]))
+    rec["psf_sec"] = round(time.time() - t0, 1)  # PSF grid + 10240^2 |rfft2|
+    t0 = time.time()
 
     @jax.jit
     def band_vis(key):
@@ -739,8 +742,9 @@ def stage_major8k16(rng):
     # one scalar fetch times the whole banded grid phase
     np.asarray(cks((dirty[-1] + dirty[0]).astype(jnp.float32)))
     rec["grid_sec"] = round(time.time() - t0, 1)
-    # 17 gridded products (16 dirty + PSF) over the phase wall
-    rec["grid_vis_per_sec"] = round((nband + 1) * nrow * nchan / max(rec["grid_sec"], 1e-9), 1)
+    # 16 banded dirty grids (RNG + vis2dirty + bf16 cast) over the wall;
+    # the PSF product is under psf_sec
+    rec["grid_vis_per_sec"] = round(nband * nrow * nchan / max(rec["grid_sec"], 1e-9), 1)
     emit("major8k16", rec)  # progress: gridding done
     del pv, psf8k
 
