@@ -11,7 +11,7 @@ import sys
 pid, port, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
 import jax
 
@@ -29,7 +29,7 @@ from pfb_imaging_tpu.parallel.multihost import (  # noqa: E402
 init_distributed(f"127.0.0.1:{port}", 2, pid)
 assert is_multihost(), "expected a 2-process runtime"
 assert jax.process_count() == 2
-assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.devices()) == 4, jax.devices()
 
 import numpy as np  # noqa: E402
 
@@ -41,7 +41,7 @@ if pid == 0:
     from pfb_imaging_tpu.core.init import init
     from pfb_imaging_tpu.core.simulate import simulate_vis_store
 
-    simulate_vis_store(ms, nant=7, ntime=2, nchan=4, nx=32)
+    simulate_vis_store(ms, nant=6, ntime=2, nchan=2, nx=24)
     init(ms, xds, product="I")
 barrier("data-ready")
 
@@ -63,7 +63,7 @@ assert all(w > 0 for w in wsums), wsums
 from pfb_imaging_tpu.core.deconv import deconv  # noqa: E402
 
 model, residual = deconv(
-    dt, niter=2, epsilon=1e-6, cg_maxit=10, pd_maxit=10, use_mesh=True,
+    dt, niter=1, epsilon=1e-6, cg_maxit=6, pd_maxit=6, use_mesh=True,
 )
 barrier("deconvolved")
 rms0 = None
