@@ -110,20 +110,25 @@ def resid_up(dirty_b, m, wgt_g):
     return (dirty_b.astype(jnp.float32) - conv).astype(jnp.bfloat16)
 
 
+def attempt(name, f, tries=4):
+    for k in range(tries):
+        t0 = time.time()
+        try:
+            out = f()
+            print(f"{name} compile+run {time.time()-t0:.1f}s (attempt {k+1})", flush=True)
+            return out
+        except Exception as e:  # transient tunnel/broken-pipe: retry
+            print(f"{name} attempt {k+1} failed after {time.time()-t0:.1f}s: "
+                  f"{repr(e)[:200]}", flush=True)
+            time.sleep(10)
+    raise RuntimeError(f"{name}: all attempts failed")
+
+
 model_b = jnp.zeros((nx, nx), jnp.float32)
 update_b = jnp.zeros((nx, nx), jnp.bfloat16)
-t0 = time.time()
-u = fwd_cg(hess, dirty0, update_b)
-np.asarray(cks(u[:, :1, :1]))
-print(f"fwd_cg compile+run {time.time()-t0:.1f}s", flush=True)
-t0 = time.time()
-model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam)
-np.asarray(cks(model_b[:1, :1]))
-print(f"bwd_pd compile+run {time.time()-t0:.1f}s", flush=True)
-t0 = time.time()
-dirty0 = resid_up(dirty0, model_b, wgt_g)
-np.asarray(cks(dirty0[:1, :1].astype(jnp.float32)))
-print(f"resid_up compile+run {time.time()-t0:.1f}s", flush=True)
+u = attempt("fwd_cg", lambda: (lambda x: (np.asarray(cks(x[:, :1, :1])), x)[1])(fwd_cg(hess, dirty0, update_b)))
+model_b = attempt("bwd_pd", lambda: (lambda x: (np.asarray(cks(x[:1, :1])), x)[1])(bwd_pd(hess, model_b, u, dual0, l1w, lam)))
+dirty0 = attempt("resid_up", lambda: (lambda x: (np.asarray(cks(x[:1, :1].astype(jnp.float32))), x)[1])(resid_up(dirty0, model_b, wgt_g)))
 # one timed steady-state cycle
 t0 = time.time()
 u = fwd_cg(hess, dirty0, u[0].astype(jnp.bfloat16))
