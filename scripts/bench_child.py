@@ -760,7 +760,11 @@ def stage_major8k16(rng):
     wgt_g = to_group_layout(plan_im, wgt_j)
     dual0 = jnp.zeros((1, psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
     l1w = jnp.ones((psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
-    inv_wsum = float(1.0 / wsum)
+    # inv_wsum travels as a (1,) array and the plan as an ARGUMENT below:
+    # baked data-dependent constants change the HLO hash and defeat the
+    # persistent compile cache across runs/datasets (round 5 — the 8k
+    # solver compiles cost ~30-40 min through the tunnel)
+    inv_wsum = jnp.asarray(np.full(1, 1.0 / wsum, np.float32))
 
     # THREE programs per band — the single fused cycle program at 8k
     # (CG while_loop + PD while_loop + the IDG round trip) exceeds what
@@ -778,8 +782,8 @@ def stage_major8k16(rng):
     from pfb_imaging_tpu.prox.prox_21m import dual_update as dual_update_21m
 
     @jax.jit
-    def fwd_cg(hess, dirty_b, update_b):
-        res = (dirty_b.astype(jnp.float32) * inv_wsum)[None]
+    def fwd_cg(hess, dirty_b, update_b, inv_wsum):
+        res = (dirty_b.astype(jnp.float32) * inv_wsum[0])[None]
         u = pcg(Partial(hess_cube_dot, hess), res,
                 x0=update_b.astype(jnp.float32)[None], tol=0.0, maxit=10, minit=10)
         return u
@@ -798,8 +802,8 @@ def stage_major8k16(rng):
         return m[0]
 
     @partial(jax.jit, donate_argnums=(0,))
-    def resid_up(dirty_b, m, wgt_g):
-        conv = hessian_vis_idg(plan_im, m, wgt_g=wgt_g)
+    def resid_up(dirty_b, m, wgt_g, plan):
+        conv = hessian_vis_idg(plan, m, wgt_g=wgt_g)
         return (dirty_b.astype(jnp.float32) - conv).astype(jnp.bfloat16)
 
     # band-MAJOR streaming: each band's dirty -> model -> residual chain
@@ -816,10 +820,10 @@ def stage_major8k16(rng):
         update_b = jnp.zeros((nx, nx), jnp.bfloat16)
         for cyc in range(ncyc):
             t0 = time.time()
-            u = fwd_cg(hess, dirty[b], update_b)
+            u = fwd_cg(hess, dirty[b], update_b, inv_wsum)
             update_b = u[0].astype(jnp.bfloat16)
             model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam)
-            dirty[b] = resid_up(dirty[b], model_b, wgt_g)
+            dirty[b] = resid_up(dirty[b], model_b, wgt_g, plan_im)
             np.asarray(cks(dirty[b].astype(jnp.float32)))  # sync the chain
             cyc_secs[cyc] += time.time() - t0
             if b == 0:  # band 0 carries every compile: emit each cycle

@@ -79,12 +79,12 @@ lam = jnp.full(1, 1e-3, jnp.float32)
 wgt_g = to_group_layout(plan_im, wgt_j)
 dual0 = jnp.zeros((1, psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
 l1w = jnp.ones((psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
-inv_wsum = float(1.0 / (nrow * nchan))
+inv_wsum = jnp.asarray(np.full(1, 1.0 / (nrow * nchan), np.float32))
 
 
 @jax.jit
-def fwd_cg(hess, dirty_b, update_b):
-    res = (dirty_b.astype(jnp.float32) * inv_wsum)[None]
+def fwd_cg(hess, dirty_b, update_b, inv_wsum):
+    res = (dirty_b.astype(jnp.float32) * inv_wsum[0])[None]
     u = pcg(Partial(hess_cube_dot, hess), res,
             x0=update_b.astype(jnp.float32)[None], tol=0.0, maxit=10, minit=10)
     return u
@@ -105,8 +105,8 @@ def bwd_pd(hess, model_b, u, dual0, l1w, lam):
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def resid_up(dirty_b, m, wgt_g):
-    conv = hessian_vis_idg(plan_im, m, wgt_g=wgt_g)
+def resid_up(dirty_b, m, wgt_g, plan):
+    conv = hessian_vis_idg(plan, m, wgt_g=wgt_g)
     return (dirty_b.astype(jnp.float32) - conv).astype(jnp.bfloat16)
 
 
@@ -126,14 +126,14 @@ def attempt(name, f, tries=4):
 
 model_b = jnp.zeros((nx, nx), jnp.float32)
 update_b = jnp.zeros((nx, nx), jnp.bfloat16)
-u = attempt("fwd_cg", lambda: (lambda x: (np.asarray(cks(x[:, :1, :1])), x)[1])(fwd_cg(hess, dirty0, update_b)))
+u = attempt("fwd_cg", lambda: (lambda x: (np.asarray(cks(x[:, :1, :1])), x)[1])(fwd_cg(hess, dirty0, update_b, inv_wsum)))
 model_b = attempt("bwd_pd", lambda: (lambda x: (np.asarray(cks(x[:1, :1])), x)[1])(bwd_pd(hess, model_b, u, dual0, l1w, lam)))
-dirty0 = attempt("resid_up", lambda: (lambda x: (np.asarray(cks(x[:1, :1].astype(jnp.float32))), x)[1])(resid_up(dirty0, model_b, wgt_g)))
+dirty0 = attempt("resid_up", lambda: (lambda x: (np.asarray(cks(x[:1, :1].astype(jnp.float32))), x)[1])(resid_up(dirty0, model_b, wgt_g, plan_im)))
 # one timed steady-state cycle
 t0 = time.time()
-u = fwd_cg(hess, dirty0, u[0].astype(jnp.bfloat16))
+u = fwd_cg(hess, dirty0, u[0].astype(jnp.bfloat16), inv_wsum)
 model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam)
-dirty0 = resid_up(dirty0, model_b, wgt_g)
+dirty0 = resid_up(dirty0, model_b, wgt_g, plan_im)
 np.asarray(cks(dirty0[:1, :1].astype(jnp.float32)))
 print(f"steady band-cycle {time.time()-t0:.1f}s -> x16 bands = "
       f"{(time.time()-t0)*16:.0f}s/major-cycle", flush=True)
