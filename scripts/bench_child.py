@@ -754,7 +754,11 @@ def stage_major8k16(rng):
     # 6-basis/3-level dual alone is 1.6 GB/band at 8k and the PD loop
     # carries several copies — 3 bases keep the single-chip run in HBM
     psi = Psi(1, nx, nx, bases=("self", "db1", "db2"), nlevel=2)
-    hess = HessianCube.build(abspsfhat, np.ones(1, np.float32), 1e-5, nx_psf, nx_psf)
+    # wsum normalisation (design D4): without it the Hessian scale is
+    # ~wsum and the fixed hessnorm=1.2 step sizes diverge the PD (the
+    # round-5 first capture's model_sum=nan); wsum_tot is a TRACED value
+    # inside the pytree, so this does not change any compiled program
+    hess = HessianCube.build(abspsfhat, np.full(1, wsum, np.float32), 1e-5, nx_psf, nx_psf)
     sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
     lam = jnp.full(1, 1e-3, jnp.float32)
     wgt_g = to_group_layout(plan_im, wgt_j)

@@ -73,7 +73,7 @@ dirty0 = vis2dirty_idg(plan_im, vr, wgt=wgt_j, vis_im=vi).astype(jnp.bfloat16)
 np.asarray(cks(dirty0.astype(jnp.float32)))
 
 psi = Psi(1, nx, nx, bases=("self", "db1", "db2"), nlevel=2)
-hess = HessianCube.build(abspsfhat, np.ones(1, np.float32), 1e-5, nx_psf, nx_psf)
+hess = HessianCube.build(abspsfhat, np.full(1, float(nrow * nchan), np.float32), 1e-5, nx_psf, nx_psf)
 sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
 lam = jnp.full(1, 1e-3, jnp.float32)
 wgt_g = to_group_layout(plan_im, wgt_j)
