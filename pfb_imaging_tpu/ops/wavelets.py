@@ -117,6 +117,10 @@ def dwt1d(x, dec_lo, dec_hi):
         window_strides=(2,),
         padding=[(k - 2, 2 * c - n)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # HIGHEST: TPU convs default to bf16 operands — the dot/hdot
+        # ADJOINT contract (what primal-dual's convergence rests on)
+        # only holds at true f32 (round 5; invisible to the CPU tests)
+        precision=jax.lax.Precision.HIGHEST,
     )
     out = out.reshape(*batch_shape, 2, c)
     return out[..., 0, :], out[..., 1, :]
@@ -137,6 +141,7 @@ def idwt1d(ca, cd, rec_lo, rec_hi):
         padding=[(1, 1)],
         lhs_dilation=(2,),
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,  # see dwt1d
     )
     return out.reshape(*batch_shape, signal_size(c, k))
 
