@@ -492,7 +492,9 @@ def stage_major(rng):
     update = jnp.zeros((nband, nx, nx), jnp.float32)
     dual = jnp.zeros((nband, psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
     l1weight = jnp.ones((psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
-    sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
+    sigma, tau = pd_step_sizes(hessnorm=hessnorm, gamma=1.0, nu=float(psi.nbasis))
+    sig_a = jnp.asarray(np.full(1, sigma, np.float32))
+    tau_a = jnp.asarray(np.full(1, tau, np.float32))
     step = partial(
         pfb_major_step,
         psi=psi,
@@ -758,6 +760,11 @@ def stage_major8k16(rng):
     # 6-basis/3-level dual alone is 1.6 GB/band at 8k and the PD loop
     # carries several copies — 3 bases keep the single-chip run in HBM
     psi = Psi(1, nx, nx, bases=("self", "db1", "db2"), nlevel=2)
+    # EXACT normalized-Hessian norm bound: hess_cube_dot = conv/wsum + eta
+    # with conv's spectrum |psfhat| -> norm <= max|psfhat|/wsum + eta.
+    # The round-4 stage guessed 1.2; this synthetic uv layout measures
+    # ~214 at 8k (probe_8k_pd.py) and the PD diverged at ~10x/iteration.
+    hessnorm = float(jnp.max(abspsfhat)) / wsum * 1.05 + 1e-3
     # wsum normalisation (design D4): without it the Hessian scale is
     # ~wsum and the fixed hessnorm=1.2 step sizes diverge the PD (the
     # round-5 first capture's model_sum=nan); wsum_tot is a TRACED value
@@ -768,7 +775,9 @@ def stage_major8k16(rng):
     # production path stops on cg_tol instead. eta_b is a traced pytree
     # value — no recompile.
     hess = HessianCube.build(abspsfhat, np.full(1, wsum, np.float32), 1e-3, nx_psf, nx_psf)
-    sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
+    sigma, tau = pd_step_sizes(hessnorm=hessnorm, gamma=1.0, nu=float(psi.nbasis))
+    sig_a = jnp.asarray(np.full(1, sigma, np.float32))
+    tau_a = jnp.asarray(np.full(1, tau, np.float32))
     lam = jnp.full(1, 1e-3, jnp.float32)
     wgt_g = to_group_layout(plan_im, wgt_j)
     dual0 = jnp.zeros((1, psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
@@ -802,13 +811,13 @@ def stage_major8k16(rng):
         return u
 
     @jax.jit
-    def bwd_pd(hess, model_b, u, dual0, l1w, lam):
+    def bwd_pd(hess, model_b, u, dual0, l1w, lam, sig_a, tau_a):
         aop = Partial(hess_cube_dot, hess)
         xtilde = model_b[None] + u  # gamma = 1
         grad = Partial(_pfb_grad, aop, xtilde, 1.0)
         m, _, _, _ = primal_dual_loop(
             model_b[None], dual0, lam, l1w,
-            jnp.full(1, sigma, jnp.float32), jnp.full(1, tau, jnp.float32), grad,
+            sig_a, tau_a, grad,
             psi_dot=psi.dot, psi_hdot=psi.hdot, primal_prox=positivity,
             dual_update=dual_update_21m, tol=0.0, maxit=10,
         )
@@ -835,7 +844,7 @@ def stage_major8k16(rng):
             t0 = time.time()
             u = fwd_cg(hess, dirty[b], update_b, inv_wsum)
             update_b = u[0].astype(jnp.bfloat16)
-            model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam)
+            model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam, sig_a, tau_a)
             dirty[b] = resid_up(dirty[b], model_b, wgt_g, plan_im)
             np.asarray(cks(dirty[b].astype(jnp.float32)))  # sync the chain
             cyc_secs[cyc] += time.time() - t0

@@ -73,8 +73,12 @@ dirty0 = vis2dirty_idg(plan_im, vr, wgt=wgt_j, vis_im=vi).astype(jnp.bfloat16)
 np.asarray(cks(dirty0.astype(jnp.float32)))
 
 psi = Psi(1, nx, nx, bases=("self", "db1", "db2"), nlevel=2)
-hess = HessianCube.build(abspsfhat, np.full(1, float(nrow * nchan), np.float32), 1e-5, nx_psf, nx_psf)
-sigma, tau = pd_step_sizes(hessnorm=1.2, gamma=1.0, nu=float(psi.nbasis))
+hess = HessianCube.build(abspsfhat, np.full(1, float(nrow * nchan), np.float32), 1e-3, nx_psf, nx_psf)
+wsum = float(nrow * nchan)
+hessnorm = float(jnp.max(abspsfhat)) / wsum * 1.05 + 1e-3
+sigma, tau = pd_step_sizes(hessnorm=hessnorm, gamma=1.0, nu=float(psi.nbasis))
+sig_a = jnp.asarray(np.full(1, sigma, np.float32))
+tau_a = jnp.asarray(np.full(1, tau, np.float32))
 lam = jnp.full(1, 1e-3, jnp.float32)
 wgt_g = to_group_layout(plan_im, wgt_j)
 dual0 = jnp.zeros((1, psi.nbasis, psi.nymax, psi.nxmax), jnp.float32)
@@ -91,13 +95,13 @@ def fwd_cg(hess, dirty_b, update_b, inv_wsum):
 
 
 @jax.jit
-def bwd_pd(hess, model_b, u, dual0, l1w, lam):
+def bwd_pd(hess, model_b, u, dual0, l1w, lam, sig_a, tau_a):
     aop = Partial(hess_cube_dot, hess)
     xtilde = model_b[None] + u
     grad = Partial(_pfb_grad, aop, xtilde, 1.0)
     m, _, _, _ = primal_dual_loop(
         model_b[None], dual0, lam, l1w,
-        jnp.full(1, sigma, jnp.float32), jnp.full(1, tau, jnp.float32), grad,
+        sig_a, tau_a, grad,
         psi_dot=psi.dot, psi_hdot=psi.hdot, primal_prox=positivity,
         dual_update=dual_update_21m, tol=0.0, maxit=10,
     )
@@ -127,12 +131,12 @@ def attempt(name, f, tries=4):
 model_b = jnp.zeros((nx, nx), jnp.float32)
 update_b = jnp.zeros((nx, nx), jnp.bfloat16)
 u = attempt("fwd_cg", lambda: (lambda x: (np.asarray(cks(x[:, :1, :1])), x)[1])(fwd_cg(hess, dirty0, update_b, inv_wsum)))
-model_b = attempt("bwd_pd", lambda: (lambda x: (np.asarray(cks(x[:1, :1])), x)[1])(bwd_pd(hess, model_b, u, dual0, l1w, lam)))
+model_b = attempt("bwd_pd", lambda: (lambda x: (np.asarray(cks(x[:1, :1])), x)[1])(bwd_pd(hess, model_b, u, dual0, l1w, lam, sig_a, tau_a)))
 dirty0 = attempt("resid_up", lambda: (lambda x: (np.asarray(cks(x[:1, :1].astype(jnp.float32))), x)[1])(resid_up(dirty0, model_b, wgt_g, plan_im)))
 # one timed steady-state cycle
 t0 = time.time()
 u = fwd_cg(hess, dirty0, u[0].astype(jnp.bfloat16), inv_wsum)
-model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam)
+model_b = bwd_pd(hess, model_b, u, dual0, l1w, lam, sig_a, tau_a)
 dirty0 = resid_up(dirty0, model_b, wgt_g, plan_im)
 np.asarray(cks(dirty0[:1, :1].astype(jnp.float32)))
 print(f"steady band-cycle {time.time()-t0:.1f}s -> x16 bands = "
