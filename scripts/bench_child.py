@@ -486,6 +486,9 @@ def stage_major(rng):
         lambda k: 0.05 * jnp.abs(jax.random.normal(k, (nband, 1, nxp, nxp // 2 + 1))) + 1.0
     )(jax.random.PRNGKey(0))
     hess = HessianCube.build(ph, np.ones(nband, np.float32), 1e-5, nxp, nxp)
+    # exact normalized-Hessian norm bound (see stage_major8k16): matvec
+    # divides by wsum_tot = nband here
+    hessnorm = float(jnp.max(ph)) / float(nband) * 1.05 + 1e-5
     psi = Psi(nband, nx, nx, bases=("self", "db1", "db2", "db3", "db4", "db5"), nlevel=3)
     residual = jax.jit(lambda k: 0.01 * jax.random.normal(k, (nband, nx, nx)))(jax.random.PRNGKey(1))
     model = jnp.zeros((nband, nx, nx), jnp.float32)
