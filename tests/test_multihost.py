@@ -91,3 +91,23 @@ def test_two_process_pipeline(tmp_path):
     a = _line(outs[0]).split(" ", 1)[1]
     b = _line(outs[1]).split(" ", 1)[1]
     assert a == b, (a, b)
+
+
+def test_owned_band_slices_single_host():
+    """owned_band_slices reassembles (band, image) shards on the owning
+    host — single-process degeneration: every band is addressable and the
+    values round-trip (row-sharded tails re-assemble per band)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pfb_imaging_tpu.parallel.mesh import make_mesh
+    from pfb_imaging_tpu.parallel.multihost import owned_band_slices
+
+    mesh = make_mesh(band=4, row=2)
+    x = jnp.arange(4 * 8 * 6.0).reshape(4, 8, 6)
+    xs = jax.device_put(x, NamedSharding(mesh, P("band", "row")))
+    got = owned_band_slices(xs)
+    assert [b for b, _ in got] == [0, 1, 2, 3]
+    for b, arr in got:
+        np.testing.assert_array_equal(arr, np.asarray(x[b]))

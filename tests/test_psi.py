@@ -121,3 +121,16 @@ def test_sara_frame_bound():
     psi = Psi(1, 32, 32, bases=("self", "db1", "db2"), nlevel=2)
     beta, _ = power_method(lambda x: psi.dot(psi.hdot(x)), (1, 3, psi.nymax, psi.nxmax), tol=1e-8, maxit=500)
     assert float(beta) == pytest.approx(3.0, rel=1e-3)
+
+
+def test_wavelet_convs_pin_matmul_precision():
+    """Regression guard (round 5): XLA TPU convolutions default to
+    single-pass bf16 operands, which broke the ON-CHIP psi adjoint (the
+    primal-dual convergence contract) while every CPU test stayed green.
+    The dwt/idwt convs must pin an explicit >=3-pass precision."""
+    import inspect
+
+    import pfb_imaging_tpu.ops.wavelets as w
+
+    src = inspect.getsource(w)
+    assert src.count("precision=jax.lax.Precision.HIGH") >= 2
