@@ -213,7 +213,11 @@ def deconv(
         abspsfhat, wsums, geometry, model, update, opts,
         beam_per_band=beam_per_band, mesh=hess_mesh, transposed=transposed,
     )
-    dt.set_attrs(hess_norm=solver.hess_norm)
+    if not multihost or jax_pi() == 0:
+        # single-writer for the shared top-level attrs (multi-host peers
+        # each construct the solver; the torn-JSON race showed up in the
+        # 2-process suite run)
+        dt.set_attrs(hess_norm=solver.hess_norm)
 
     # warm-start the PD dual from the checkpoint when present — the
     # reference re-zeros it every run (primal_dual.py:383, noted in SURVEY

@@ -52,7 +52,11 @@ class TreeStore:
     def set_attrs(self, **kw) -> None:
         attrs = self.attrs
         attrs.update({k: self._jsonable(v) for k, v in kw.items()})
-        (self.path / ".attrs.json").write_text(json.dumps(attrs, indent=1))
+        # atomic replace: a concurrent reader (multi-host peers share the
+        # store) must never observe a torn half-written JSON
+        tmp = self.path / f".attrs.json.tmp.{os.getpid()}"
+        tmp.write_text(json.dumps(attrs, indent=1))
+        os.replace(tmp, self.path / ".attrs.json")
 
     @staticmethod
     def _jsonable(v):
