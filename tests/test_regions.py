@@ -136,3 +136,26 @@ def test_degrid_accepts_ds9_file(tmp_path):
         summed = np.asarray(g.read("SPLIT")) + np.asarray(g.read("SPLIT1"))
         np.testing.assert_allclose(summed, full, rtol=1e-12, atol=1e-12 * np.abs(full).max())
         assert np.abs(np.asarray(g.read("SPLIT1"))).max() > 0.1
+
+
+def test_crtf_ellipse_and_multiframe_ds9():
+    """CRTF ellipse (pixel frame) + DS9 files that switch frames mid-file."""
+    text = "#CRTFv0\nellipse[[17pix, 17pix], [6pix, 3pix], 0]\n"
+    (m,) = region_masks(text, 32, 32, 1.0)
+    assert m[16, 16] == 1.0 and m[16 + 5, 16] == 1.0
+    assert m[16, 16 + 5] == 0.0  # semi-minor 3 along y
+    # DS9: image frame then a second image section after a global line
+    text = ("# Region file format: DS9\nglobal width=2\nimage\n"
+            "circle(8,8,2)\nimage\nbox(24,24,4,4,0)\n")
+    m1, m2 = region_masks(text, 32, 32, 1.0)
+    assert m1[7, 7] == 1.0 and m2[23, 23] == 1.0
+
+
+def test_cli_degrid_accepts_pallas_choice():
+    """The pallas gridder choice is a valid CLI flag (round-5 wiring)."""
+    from pfb_imaging_tpu.cli import make_parser
+
+    p = make_parser()
+    ns = p.parse_args(["degrid", "a.mds", "b.ms", "--cell-rad", "1e-6",
+                       "--gridder", "pallas"])
+    assert ns.gridder == "pallas"
